@@ -1,0 +1,226 @@
+"""The public reader API (reference layer L5, claxon `src/lib.rs`).
+
+``FlacReader`` mirrors the reference surface 1:1: ``open``/``open_ext``
+(paths), the constructor (file-like objects) with ``FlacReaderOptions``,
+``streaminfo()``, ``vendor()``, ``tags()``, ``get_tag()``, ``blocks()``,
+``samples()``, ``into_samples()``, ``into_inner()``.
+"""
+
+import io as _io
+from dataclasses import dataclass
+
+from .error import FormatError, fmt_err
+from .frame import Block, FrameReader
+from .io.readers import BufferedReader, MemReader
+from .metadata import (MetadataBlockReader, Tags, GetTag)
+
+__all__ = ["FlacReader", "FlacReaderOptions", "FlacSamples"]
+
+
+@dataclass
+class FlacReaderOptions:
+    """Controls what metadata ``FlacReader`` reads when constructed
+    (reference `src/lib.rs:122-151`).
+
+    * ``metadata_only=True``: return as soon as all desired metadata has
+      been read; the reader then cannot be used to read audio.
+    * ``read_vorbis_comment=False``: don't read tags even if present.
+    """
+    metadata_only: bool = False
+    read_vorbis_comment: bool = True
+
+    def has_desired_blocks(self):
+        if not self.metadata_only:
+            return True
+        return self.read_vorbis_comment
+
+
+def read_stream_header(input):
+    """Check the 'fLaC' magic; detect ID3-prefixed files with a helpful
+    error like the reference (`src/lib.rs:186-205`)."""
+    FLAC_HEADER = 0x664C6143
+    ID3_HEADER = 0x49443300
+
+    header = input.read_be_u32()
+    if header != FLAC_HEADER:
+        if (header & 0xFFFFFF00) == ID3_HEADER:
+            fmt_err("stream starts with ID3 header rather than FLAC header")
+        else:
+            fmt_err("invalid stream header")
+
+
+class FlacReader:
+    """A FLAC decoder reading from a file path, bytes, or binary stream.
+
+    Reference: `src/lib.rs:93-471`. The streaming decode path here is the
+    reference-fidelity host path; for maximum throughput over whole files
+    use ``claxon_tpu.pipeline`` which batches frames onto the TPU.
+    """
+
+    def __init__(self, reader, options=None):
+        """Create a reader from a binary file-like object (``new``/
+        ``new_ext`` in the reference, `src/lib.rs:217-307`).
+
+        The stream header and metadata blocks are read immediately; audio
+        frames are read on demand. Files claiming excessively large metadata
+        blocks are rejected (``Unsupported``) to prevent DoS.
+        """
+        options = options or FlacReaderOptions()
+        if isinstance(reader, (bytes, bytearray, memoryview)):
+            buf_reader = MemReader(reader)
+        else:
+            buf_reader = BufferedReader(reader)
+
+        read_stream_header(buf_reader)
+
+        opts_current = FlacReaderOptions(options.metadata_only,
+                                         options.read_vorbis_comment)
+
+        metadata_iter = MetadataBlockReader(buf_reader)
+        # The first block must be streaminfo.
+        streaminfo_block = next(metadata_iter)
+        if streaminfo_block.kind != "streaminfo":
+            fmt_err("streaminfo block missing")
+        streaminfo = streaminfo_block.streaminfo
+
+        vorbis_comment = None
+        for block in metadata_iter:
+            if block.kind == "vorbis_comment":
+                # The Vorbis comment block need not be present, but when it
+                # is, it must be unique.
+                if vorbis_comment is not None:
+                    fmt_err("encountered second Vorbis comment block")
+                vorbis_comment = block.vorbis_comment
+                opts_current.read_vorbis_comment = False
+            elif block.kind == "streaminfo":
+                fmt_err("encountered second streaminfo block")
+            # Early-out once all desired blocks have been collected.
+            if not opts_current.has_desired_blocks():
+                break
+
+        if not options.read_vorbis_comment:
+            vorbis_comment = None
+
+        self._streaminfo = streaminfo
+        self._vorbis_comment = vorbis_comment
+        self._input = buf_reader
+        # Only mark "full" when metadata_only was false, even if we happened
+        # to read all metadata: more predictable behavior (`src/lib.rs:290-297`).
+        self._metadata_only = options.metadata_only
+
+    @classmethod
+    def open(cls, filename):
+        """Create a reader that reads from the file at ``filename``
+        (`src/lib.rs:449-458`). No extra buffering is needed."""
+        return cls(open(filename, "rb"))
+
+    @classmethod
+    def open_ext(cls, filename, options):
+        """``open`` with ``FlacReaderOptions`` (`src/lib.rs:465-471`)."""
+        return cls(open(filename, "rb"), options)
+
+    @classmethod
+    def new(cls, reader):
+        """Alias of the constructor, mirroring the reference's ``new``."""
+        return cls(reader)
+
+    @classmethod
+    def new_ext(cls, reader, options):
+        """Alias of the constructor, mirroring the reference's ``new_ext``."""
+        return cls(reader, options)
+
+    def streaminfo(self):
+        """The streaminfo metadata: sample rate, channels, etc."""
+        return self._streaminfo
+
+    def vendor(self):
+        """The vendor string of the Vorbis comment block, if present."""
+        return self._vorbis_comment.vendor if self._vorbis_comment else None
+
+    def tags(self):
+        """Iterator of (name, value) Vorbis comments. Names are ASCII and
+        case-insensitive, and need not be unique."""
+        comments = self._vorbis_comment.comments if self._vorbis_comment else []
+        return Tags(comments)
+
+    def get_tag(self, tag_name):
+        """Case-insensitive lookup of a tag; yields each value."""
+        comments = self._vorbis_comment.comments if self._vorbis_comment else []
+        return GetTag(comments, tag_name)
+
+    def blocks(self):
+        """A ``FrameReader`` for frame-at-a-time decoding with buffer
+        recycling; the low-level, high-performance interface."""
+        if self._metadata_only:
+            raise AssertionError(
+                "FlacReaderOptions.metadata_only must be False to be able "
+                "to use FlacReader.blocks()")
+        return FrameReader(self._input)
+
+    def samples(self):
+        """Iterator over all samples, channels interleaved.
+
+        Streaming: a second call continues (block-aligned) where the first
+        stopped. User-friendly; for performance use ``blocks()``.
+        """
+        if self._metadata_only:
+            raise AssertionError(
+                "FlacReaderOptions.metadata_only must be False to be able "
+                "to use FlacReader.samples()")
+        return FlacSamples(FrameReader(self._input))
+
+    def into_samples(self):
+        """Like ``samples()``; named for parity with the reference's
+        owning variant."""
+        if self._metadata_only:
+            raise AssertionError(
+                "FlacReaderOptions.metadata_only must be False to be able "
+                "to use FlacReader.into_samples()")
+        return FlacSamples(FrameReader(self._input))
+
+    def into_inner(self):
+        """Return the underlying reader. Buffered data is lost."""
+        return self._input.into_inner()
+
+
+class FlacSamples:
+    """Iterator yielding decoded samples, channel-interleaved
+    (reference `src/lib.rs:168-178,473-520`).
+
+    After any error, iteration stops for good (the failure latch).
+    """
+
+    def __init__(self, frame_reader):
+        self._frame_reader = frame_reader
+        self._block = Block.empty()
+        self._sample = 0
+        self._channel = 0
+        self._has_failed = False
+        self._channel_data = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._has_failed:
+            raise StopIteration
+
+        self._channel += 1
+        if self._channel >= self._block.channels():
+            self._channel = 0
+            self._sample += 1
+            if self._sample >= self._block.duration():
+                self._sample = 0
+                current = self._block
+                self._block = Block.empty()
+                try:
+                    next_block = self._frame_reader.read_next_or_eof(
+                        current.into_buffer())
+                except Exception:
+                    self._has_failed = True
+                    raise
+                if next_block is None:
+                    raise StopIteration
+                self._block = next_block
+
+        return self._block.sample(self._channel, self._sample)

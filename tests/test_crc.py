@@ -1,0 +1,65 @@
+"""CRC-8 / CRC-16 unit tests (reference test tier 1, `src/crc.rs:197-209`)."""
+
+import numpy as np
+
+from claxon_tpu.crc import (CRC8_TABLE, CRC16_TABLE, crc8, crc16,
+                            crc16_combine_matrices)
+from claxon_tpu.io.readers import Crc8Reader, Crc16Reader, MemReader
+
+
+def test_crc8_check_value():
+    # Standard check value for CRC-8 poly 0x07, init 0 (CRC-8/SMBUS family):
+    # crc8("123456789") == 0xF4.
+    assert crc8(b"123456789") == 0xF4
+
+
+def test_crc16_check_value():
+    # Standard check value for CRC-16 poly 0x8005 MSB-first, init 0
+    # (CRC-16/UMTS aka BUYPASS): crc16("123456789") == 0xFEE8.
+    assert crc16(b"123456789") == 0xFEE8
+
+
+def test_crc8_empty_and_single():
+    assert crc8(b"") == 0
+    assert crc8(b"\x00") == 0
+    assert crc8(b"\x01") == CRC8_TABLE[1]
+
+
+def test_crc_reader_streams_match_whole_buffer():
+    data = bytes(range(251)) * 3
+    r8 = Crc8Reader(MemReader(data))
+    for _ in range(len(data)):
+        r8.read_u8()
+    assert r8.crc == crc8(data)
+
+    r16 = Crc16Reader(MemReader(data))
+    for _ in range(len(data)):
+        r16.read_u8()
+    assert r16.crc == crc16(data)
+
+
+def test_crc_readers_forbid_skip():
+    r = Crc8Reader(MemReader(b"abcdef"))
+    try:
+        r.skip(2)
+        assert False, "skip through a CRC reader must be rejected"
+    except AssertionError:
+        pass
+
+
+def test_crc16_combine_matrices():
+    # crc(a ++ zeros(2^k)) must equal applying M[k] to crc(a).
+    mats = crc16_combine_matrices(max_log2_len=6)
+
+    def apply(mat, state):
+        r = 0
+        for i in range(16):
+            if state & (1 << i):
+                r ^= int(mat[i])
+        return r
+
+    rng = np.random.default_rng(42)
+    data = bytes(rng.integers(0, 256, 37, dtype=np.uint8))
+    for k in range(6):
+        shifted = crc16(data + b"\x00" * (1 << k))
+        assert apply(mats[k], crc16(data)) == shifted
