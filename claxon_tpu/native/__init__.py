@@ -1,0 +1,10 @@
+"""C++ host demux core (native production path).
+
+Loads ``libclaxon_demux.so`` via ctypes when built (``python -m
+claxon_tpu.native.build``); falls back cleanly when absent --
+``available()`` returns False and callers use the Python extractor.
+"""
+
+from .binding import available, extract_stream, decode_stream_scalar
+
+__all__ = ["available", "extract_stream", "decode_stream_scalar"]

@@ -1,0 +1,22 @@
+"""Batched TPU device kernels for the numeric reconstruction.
+
+The decode problem splits into a bit-serial demux (host, C++) and a regular,
+batchable numeric reconstruction (device): prediction synthesis, wasted-bits
+shifts, stereo decorrelation. These kernels process a *batch* of subframes
+-- one (frame, channel) per lane -- per XLA dispatch, which is what hides
+the FLAC format's serial structure from the chip (SURVEY.md section 7).
+
+* ``i64``: exact 64-bit integer arithmetic emulated on 32-bit lanes (TPU
+  has no native int64); the limb-split dot product is the core trick that
+  makes bit-exact LPC synthesis vectorize.
+* ``predict``: the unified synthesis kernel. CONSTANT/VERBATIM are order-0,
+  FIXED is the Pascal-coefficient recurrence with shift 0, LPC is the
+  general order<=32 recurrence -- one kernel, exact for all of them.
+* ``epilogue``: wasted-bits shift + stereo decorrelation (pure elementwise).
+"""
+
+from . import i64
+from .predict import synthesize, synthesize_reference
+from .epilogue import apply_epilogue
+
+__all__ = ["i64", "synthesize", "synthesize_reference", "apply_epilogue"]

@@ -2,23 +2,34 @@
 
 Device-path tests run on a virtual 8-device CPU mesh so that sharding and
 kernel semantics are exercised without TPU hardware; the integer kernels
-used by the decode pipeline are bit-exact across XLA backends. Set
-CLAXON_TPU_TEST_REAL_DEVICE=1 to run on whatever JAX finds instead.
+used by the decode pipeline are bit-exact across XLA backends.
+
+IMPORTANT (environment quirk): this container's sitecustomize imports jax
+at interpreter start and pins the 'axon' remote-TPU platform; JAX_PLATFORMS
+in the environment is ignored. The working override is
+``jax.config.update("jax_platforms", "cpu")`` after import. Op-by-op
+dispatch on the axon backend does a remote compile per op (~seconds each),
+so tests must never run there. Set CLAXON_TPU_TEST_REAL_DEVICE=1 to run on
+the real device anyway.
 """
 
 import os
 import sys
 import pathlib
 
-if not os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
-
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+if not os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        # Read when the CPU PJRT client initializes (first use), so setting
+        # it here is early enough even though jax is already imported.
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_SAMPLES = pathlib.Path("/root/reference/testsamples")
 

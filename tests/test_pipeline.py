@@ -1,0 +1,73 @@
+"""End-to-end device-pipeline parity tests: the batched TPU decode path must
+be bit-exact against the scalar host path and the STREAMINFO MD5 oracle on
+the committed corpus and on generated streams covering every subframe type."""
+
+import numpy as np
+import pytest
+
+from claxon_tpu import FlacReader
+from claxon_tpu.pipeline import decode_stream
+from claxon_tpu.testing import encode_flac, synth_music
+from util import decode_all_blocks, interleave, pcm_md5
+
+
+def assert_pipeline_matches(data):
+    dec = decode_stream(data, use_native=False)
+    scalar = interleave(decode_all_blocks(FlacReader(bytes(data))))
+    assert dec.pcm.shape == scalar.shape
+    assert np.array_equal(dec.pcm, scalar)
+    si = dec.streaminfo
+    if si.md5sum != b"\x00" * 16:
+        assert pcm_md5(dec.pcm, si.bits_per_sample) == si.md5sum
+    return dec
+
+
+@pytest.mark.parametrize("name", ["pop.flac", "short.flac",
+                                  "wasted_bits.flac", "non_subset.flac"])
+def test_pipeline_committed_corpus(testsamples, name):
+    assert_pipeline_matches((testsamples / name).read_bytes())
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(stereo="left_side"),
+    dict(stereo="right_side"),
+    dict(stereo="independent"),
+    dict(force_subframe="verbatim"),
+    dict(force_subframe="fixed"),
+    dict(max_lpc_order=12, partition_order=4),
+    dict(max_lpc_order=32, lpc_precision=15),
+    dict(rice2=True),
+    dict(block_size=1000),
+    dict(variable_blocking=True),
+], ids=lambda kw: str(sorted(kw.items())))
+def test_pipeline_generated(kw):
+    pcm = synth_music(6000, channels=2, bps=16, seed=11)
+    assert_pipeline_matches(encode_flac(pcm, 44100, 16, **kw))
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
+def test_pipeline_bit_depths(bps):
+    pcm = synth_music(3000, channels=2, bps=bps, seed=bps)
+    assert_pipeline_matches(encode_flac(pcm, 44100, bps))
+
+
+def test_pipeline_multichannel():
+    pcm = synth_music(2000, channels=5, bps=16, seed=3)
+    assert_pipeline_matches(encode_flac(pcm, 48000, 16, block_size=512))
+
+
+def test_pipeline_wasted_bits():
+    pcm = synth_music(4000, channels=2, bps=16, seed=8) & ~np.int64(0x7)
+    assert_pipeline_matches(encode_flac(pcm, 44100, 16))
+
+
+def test_pipeline_mixed_block_sizes():
+    # Final short frame lands in a different bucket than the main frames.
+    pcm = synth_music(10000, channels=2, bps=16, seed=12)
+    dec = assert_pipeline_matches(encode_flac(pcm, 44100, 16, block_size=4096))
+    assert dec.frame_sizes == [4096, 4096, 1808]
+    # Reference quirk: with fixed blocking, time = current block size *
+    # frame number (`src/frame.rs:771-773`), so the short last frame gets
+    # 1808 * 2, not 8192. We mirror the reference exactly.
+    assert dec.frame_times == [0, 4096, 3616]
