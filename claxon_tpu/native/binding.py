@@ -1,20 +1,179 @@
-"""ctypes binding to the C++ demux core (placeholder until built).
+"""ctypes binding to the C++ demux core (``src/claxon_demux.cpp``).
 
-The C++ library is compiled by ``python -m claxon_tpu.native.build``; until
-then ``available()`` returns False and the framework uses the Python
-extractor.
+Layering: Python parses the (cold, byte-aligned) stream header + metadata
+blocks; the C++ core does the hot bit-level work -- frame/subframe parsing,
+Rice residual decode, CRC verification -- and returns flat descriptor
+arrays that map 1:1 onto ``claxon_tpu.extract``'s StreamBatch structures.
+
+ctypes releases the GIL during the foreign call, so extraction of many
+streams parallelizes with an ordinary ThreadPoolExecutor (the frame-level
+parallelism the reference cannot express single-threaded; SURVEY.md
+section 2 DP row).
 """
 
-__all__ = ["available", "extract_stream", "decode_stream_scalar"]
+import ctypes
+
+import numpy as np
+
+from ..error import FormatError, IoError, Unsupported
+from ..io.readers import MemReader
+from ..metadata import MetadataBlockReader
+from .build import ensure_built
+
+__all__ = ["available", "extract_stream", "extract_frames",
+           "decode_stream_scalar"]
+
+FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
+                        ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
+SUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
+                      ("pad", "<i4"), ("coefs", "<i4", (32,))])
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = ensure_built()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cxt_extract.restype = ctypes.c_void_p
+    lib.cxt_extract.argtypes = [u8p, ctypes.c_uint64,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_char_p, ctypes.c_uint64]
+    lib.cxt_decode.restype = ctypes.c_void_p
+    lib.cxt_decode.argtypes = lib.cxt_extract.argtypes
+    for name in ("cxt_n_frames", "cxt_n_subframes", "cxt_n_lane_samples",
+                 "cxt_pcm_len"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_uint64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.cxt_fill.restype = None
+    lib.cxt_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.cxt_pcm_fill.restype = None
+    lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.cxt_free.restype = None
+    lib.cxt_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
 
 
 def available():
-    return False
+    """True when the C++ core is built and loadable."""
+    return _load() is not None
+
+
+_ERRORS = {1: FormatError, 2: Unsupported, 3: IoError}
+
+
+def _call(fn, data):
+    """Invoke cxt_extract/cxt_decode, mapping errors; returns a handle."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    err = ctypes.c_int32(0)
+    msg = ctypes.create_string_buffer(256)
+    h = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+           ctypes.byref(err), msg, 256)
+    if not h:
+        text = msg.value.decode("utf-8", "replace")
+        raise _ERRORS.get(err.value, RuntimeError)(text)
+    return h
+
+
+def _read_metadata(data):
+    """Parse header + metadata in Python; returns (streaminfo, frame_off)."""
+    from ..reader import read_stream_header
+
+    reader = MemReader(data)
+    read_stream_header(reader)
+    streaminfo = None
+    for block in MetadataBlockReader(reader):
+        if block.kind == "streaminfo" and streaminfo is None:
+            streaminfo = block.streaminfo
+    if streaminfo is None:
+        raise FormatError("streaminfo block missing")
+    return streaminfo, reader.pos
+
+
+def extract_frames(payload):
+    """Extract FrameDescs from the frame section of a stream (bytes
+    positioned at the first frame). Native counterpart of
+    ``claxon_tpu.extract.extract_frames``."""
+    from ..extract import FrameDesc, SubframeDesc
+
+    lib = _load()
+    payload = bytes(payload)
+    h = _call(lib.cxt_extract, payload)
+    try:
+        n_frames = lib.cxt_n_frames(h)
+        n_subs = lib.cxt_n_subframes(h)
+        n_samp = lib.cxt_n_lane_samples(h)
+        frames_buf = np.empty(n_frames, dtype=FRAME_DTYPE)
+        subs_buf = np.empty(n_subs, dtype=SUB_DTYPE)
+        samples = np.empty(n_samp, dtype=np.int32)
+        lib.cxt_fill(h, frames_buf.ctypes.data, subs_buf.ctypes.data,
+                     samples.ctypes.data)
+    finally:
+        lib.cxt_free(h)
+
+    frames = []
+    lane = 0
+    off = 0
+    coefs_all = subs_buf["coefs"]
+    for i in range(n_frames):
+        f = frames_buf[i]
+        bs = int(f["block_size"])
+        nch = int(f["channels"])
+        fd = FrameDesc(block_size=bs, channels=nch, mode=int(f["mode"]),
+                       bps=int(f["bps"]), time=int(f["time"]))
+        for _ in range(nch):
+            s = subs_buf[lane]
+            order = int(s["order"])
+            fd.subframes.append(SubframeDesc(
+                x=samples[off:off + bs],
+                order=order,
+                shift=int(s["shift"]),
+                coefs=coefs_all[lane, 32 - order:] if order else
+                      np.zeros(0, np.int32),
+                wasted=int(s["wasted"])))
+            lane += 1
+            off += bs
+        frames.append(fd)
+    return frames
 
 
 def extract_stream(data):
-    raise NotImplementedError("native demux core not built")
+    """Extract a whole FLAC stream (bytes) into a StreamBatch using the
+    C++ core for the frame section."""
+    from ..extract import StreamBatch
+
+    data = bytes(data)
+    streaminfo, pos = _read_metadata(data)
+    return StreamBatch(streaminfo=streaminfo,
+                       frames=extract_frames(data[pos:]))
 
 
 def decode_stream_scalar(data):
-    raise NotImplementedError("native demux core not built")
+    """Full native host decode (prediction + epilogue in C++); returns
+    (streaminfo, pcm) with pcm shaped (total_samples, channels).
+
+    The scalar oracle / low-latency path; bit-exact with the device
+    pipeline and the Python host decoder.
+    """
+    lib = _load()
+    data = bytes(data)
+    streaminfo, pos = _read_metadata(data)
+    h = _call(lib.cxt_decode, data[pos:])
+    try:
+        n = lib.cxt_pcm_len(h)
+        pcm = np.empty(n, dtype=np.int32)
+        lib.cxt_pcm_fill(h, pcm.ctypes.data)
+    finally:
+        lib.cxt_free(h)
+    channels = streaminfo.channels
+    return streaminfo, pcm.reshape(-1, channels)

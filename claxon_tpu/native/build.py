@@ -1,0 +1,54 @@
+"""Build the C++ demux core: ``python -m claxon_tpu.native.build``.
+
+Compiles ``src/claxon_demux.cpp`` to ``libclaxon_demux.so`` next to this
+file with g++. The binding auto-builds on first import when the .so is
+missing or older than the source (disable with CLAXON_TPU_NO_BUILD=1).
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+SRC = HERE / "src" / "claxon_demux.cpp"
+LIB = HERE / "libclaxon_demux.so"
+
+def build(verbose=True):
+    """Compile the shared library; returns the path or raises."""
+    flag_sets = [
+        ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
+         "-funroll-loops"],
+        ["-O3", "-std=c++17", "-fPIC", "-shared"],  # fallback: portable
+    ]
+    last_err = None
+    for flags in flag_sets:
+        cmd = ["g++", *flags, str(SRC), "-o", str(LIB)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            last_err = str(e)
+            continue
+        if proc.returncode == 0:
+            if verbose:
+                print(f"built {LIB}", file=sys.stderr)
+            return LIB
+        last_err = proc.stderr
+    raise RuntimeError(f"g++ failed to build {SRC}:\n{last_err}")
+
+
+def ensure_built():
+    """Build if missing/stale; returns the lib path or None on failure."""
+    if os.environ.get("CLAXON_TPU_NO_BUILD"):
+        return LIB if LIB.exists() else None
+    try:
+        if not LIB.exists() or LIB.stat().st_mtime < SRC.stat().st_mtime:
+            build(verbose=False)
+        return LIB
+    except Exception:
+        return None
+
+
+if __name__ == "__main__":
+    build()

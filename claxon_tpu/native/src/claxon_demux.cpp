@@ -1,0 +1,631 @@
+// C++ host demux core: the native production path of claxon_tpu.
+//
+// Does for the TPU pipeline what the reference's input.rs/frame.rs/
+// subframe.rs layers do natively in Rust (SURVEY.md section 2 parity
+// requirement): walk the bit-serial FLAC stream once, verify CRC-8/CRC-16,
+// and either
+//   * EXTRACT per-(frame, channel) descriptors -- residual/warm-up samples
+//     plus (order, shift, coefficients, wasted bits) -- for the batched
+//     device kernels (claxon_tpu.ops), or
+//   * DECODE fully on the host (prediction + wasted-bits + stereo
+//     decorrelation), the reference-fidelity scalar path used as oracle and
+//     as the low-latency single-stream fallback.
+//
+// Semantics (including every validation and its exact error message) mirror
+// claxon `src/frame.rs:131-316`, `src/subframe.rs:29-380,651-721`; the two
+// implementations are differentially tested against each other and against
+// the STREAMINFO MD5 oracle.
+//
+// C ABI (ctypes, see ../binding.py): cxt_extract/cxt_decode parse a whole
+// stream positioned at its first frame byte; counts are queried, the caller
+// allocates numpy buffers, cxt_fill/cxt_pcm_fill copy out, cxt_free frees.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Errors: code 1 = FormatError, 2 = Unsupported, 3 = IoError (EOF).
+// Messages are static strings identical to the Python/claxon wording.
+
+struct Err {
+  int32_t code;
+  const char* msg;
+};
+
+[[noreturn]] void fmt_err(const char* msg) { throw Err{1, msg}; }
+[[noreturn]] void unsupported(const char* msg) { throw Err{2, msg}; }
+[[noreturn]] void eof_err() { throw Err{3, "unexpected end of stream"}; }
+
+// ---------------------------------------------------------------------------
+// CRC tables (generated from the polynomials; claxon `src/crc.rs:59-69`).
+
+struct CrcTables {
+  uint8_t crc8[256];
+  uint16_t crc16[256];
+  CrcTables() {
+    for (int b = 0; b < 256; ++b) {
+      uint32_t c8 = b;
+      uint32_t c16 = b << 8;
+      for (int i = 0; i < 8; ++i) {
+        c8 = (c8 & 0x80) ? ((c8 << 1) ^ 0x07) : (c8 << 1);
+        c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
+      }
+      crc8[b] = (uint8_t)c8;
+      crc16[b] = (uint16_t)c16;
+    }
+  }
+};
+const CrcTables kCrc;
+
+uint8_t crc8_range(const uint8_t* p, const uint8_t* end) {
+  uint8_t crc = 0;
+  for (; p < end; ++p) crc = kCrc.crc8[crc ^ *p];
+  return crc;
+}
+
+uint16_t crc16_range(const uint8_t* p, const uint8_t* end) {
+  uint16_t crc = 0;
+  for (; p < end; ++p) crc = kCrc.crc16[(crc >> 8) ^ *p] ^ (uint16_t)(crc << 8);
+  return crc;
+}
+
+// ---------------------------------------------------------------------------
+// MSB-first bit reader over an in-memory byte range (the native counterpart
+// of claxon `src/input.rs:414-643`). The accumulator keeps unconsumed bits
+// left-aligned so the Rice quotient read is a count-leading-zeros.
+
+struct Bits {
+  const uint8_t* base;
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t acc = 0;  // top `n` bits are valid; bits below are zero
+  int n = 0;
+
+  explicit Bits(const uint8_t* data, size_t len)
+      : base(data), p(data), end(data + len) {}
+
+  inline void refill() {
+    while (n <= 56 && p < end) {
+      acc |= (uint64_t)(*p++) << (56 - n);
+      n += 8;
+    }
+  }
+
+  inline bool at_eos() const { return n == 0 && p == end; }
+
+  // Read k bits (0 <= k <= 32), MSB-first.
+  inline uint32_t read(int k) {
+    if (k == 0) return 0;
+    if (n < k) {
+      refill();
+      if (n < k) eof_err();
+    }
+    uint32_t v = (uint32_t)(acc >> (64 - k));
+    acc <<= k;
+    n -= k;
+    return v;
+  }
+
+  inline bool read_bit() { return read(1) != 0; }
+
+  // Count zeros until the terminating 1 (Rice quotient; claxon
+  // `src/input.rs:475-511` uses the same leading-zeros acceleration).
+  inline uint32_t read_unary() {
+    uint32_t q = 0;
+    for (;;) {
+      if (n == 0) {
+        refill();
+        if (n == 0) eof_err();
+      }
+      if (acc == 0) {  // all n buffered bits are zeros
+        q += (uint32_t)n;
+        n = 0;
+        continue;
+      }
+      int z = __builtin_clzll(acc);  // acc != 0, and z < n by invariant
+      q += (uint32_t)z;
+      acc <<= z + 1;
+      n -= z + 1;
+      return q;
+    }
+  }
+
+  // Drop bits to the next byte boundary (bitstream drop in the reference,
+  // `src/frame.rs:744-750`).
+  inline void align() {
+    int r = n & 7;
+    acc <<= r;
+    n -= r;
+  }
+
+  // Byte offset from `base` of the next unconsumed byte; valid only when
+  // byte-aligned.
+  inline size_t bytepos() const { return (size_t)(p - base) - (size_t)(n / 8); }
+
+  inline uint32_t read_u8() { return read(8); }
+  inline uint32_t read_be_u16() { return read(16); }
+};
+
+inline int32_t extend_sign(uint32_t val, int bits) {
+  int64_t v = val;
+  if (v >= (int64_t)1 << (bits - 1)) v -= (int64_t)1 << bits;
+  return (int32_t)v;
+}
+
+// ---------------------------------------------------------------------------
+// Frame header (claxon `src/frame.rs:131-316`).
+
+struct Header {
+  int64_t time;  // resolved first inter-channel sample number
+  int32_t block_size;
+  int32_t channels;
+  int32_t mode;  // 0 independent, 1 left/side, 2 right/side, 3 mid/side
+  int32_t bps;   // -1 when the header omits it
+};
+
+// "UTF-8"-style variable-length int, up to 36 bits (`src/frame.rs:61-105`).
+uint64_t read_var_length_int(Bits& b) {
+  uint32_t first = b.read_u8();
+  int read_additional = 0;
+  uint32_t mask_data = 0x7F, mask_mark = 0x80;
+  while (first & mask_mark) {
+    ++read_additional;
+    mask_data >>= 1;
+    mask_mark >>= 1;
+  }
+  if (read_additional > 0) {
+    if (read_additional == 1) fmt_err("invalid variable-length integer");
+    --read_additional;
+  }
+  uint64_t result = (uint64_t)(first & mask_data) << (6 * read_additional);
+  for (int i = read_additional - 1; i >= 0; --i) {
+    uint32_t byte = b.read_u8();
+    if ((byte & 0xC0) != 0x80) fmt_err("invalid variable-length integer");
+    result |= (uint64_t)(byte & 0x3F) << (6 * i);
+  }
+  return result;
+}
+
+// Returns false at a clean EOF (stream ends exactly at a frame boundary).
+bool read_frame_header(Bits& b, Header& h) {
+  if (b.at_eos()) return false;
+  size_t hdr_start = b.bytepos();
+
+  uint32_t sync_res_block = b.read_be_u16();
+  if ((sync_res_block & 0xFFFC) != 0xFFF8) fmt_err("frame sync code missing");
+  if (sync_res_block & 0x0002)
+    fmt_err("invalid frame header, encountered reserved value");
+  bool variable_blocking = (sync_res_block & 1) != 0;
+
+  uint32_t bs_sr = b.read_u8();
+  uint32_t bs_code = bs_sr >> 4;
+  int32_t block_size = 0;
+  bool read_8bit_bs = false, read_16bit_bs = false;
+  if (bs_code == 0) {
+    fmt_err("invalid frame header, encountered reserved value");
+  } else if (bs_code == 1) {
+    block_size = 192;
+  } else if (bs_code <= 5) {
+    block_size = 576 << (bs_code - 2);
+  } else if (bs_code == 6) {
+    read_8bit_bs = true;
+  } else if (bs_code == 7) {
+    read_16bit_bs = true;
+  } else {
+    block_size = 256 << (bs_code - 8);
+  }
+
+  static const int32_t kSampleRates[16] = {
+      0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+      32000, 44100, 48000, 96000, -1, -1, -1, -1};
+  uint32_t sr_code = bs_sr & 0x0F;
+  bool read_8bit_sr = false, read_16bit_sr = false, read_16bit_sr_ten = false;
+  if (sr_code == 0x0C) read_8bit_sr = true;
+  else if (sr_code == 0x0D) read_16bit_sr = true;
+  else if (sr_code == 0x0E) read_16bit_sr_ten = true;
+  else if (sr_code == 0x0F) fmt_err("invalid frame header");
+
+  uint32_t chan_bps_res = b.read_u8();
+  uint32_t ca = chan_bps_res >> 4;
+  if (ca < 8) {
+    h.channels = (int32_t)ca + 1;
+    h.mode = 0;
+  } else if (ca == 0x8) {
+    h.channels = 2;
+    h.mode = 1;  // left/side
+  } else if (ca == 0x9) {
+    h.channels = 2;
+    h.mode = 2;  // right/side
+  } else if (ca == 0xA) {
+    h.channels = 2;
+    h.mode = 3;  // mid/side
+  } else {
+    fmt_err("invalid frame header, encountered reserved value");
+  }
+
+  static const int32_t kBps[8] = {-1, 8, 12, -2, 16, 20, 24, -2};
+  uint32_t bps_code = (chan_bps_res & 0x0E) >> 1;
+  int32_t bps = kBps[bps_code];
+  if (bps == -2) fmt_err("invalid frame header, encountered reserved value");
+  if (chan_bps_res & 1)
+    fmt_err("invalid frame header, encountered reserved value");
+
+  uint64_t time_value;
+  bool time_is_frame_number;
+  if (variable_blocking) {
+    time_value = read_var_length_int(b);  // sample number, <= 36 bits
+    time_is_frame_number = false;
+  } else {
+    time_value = read_var_length_int(b);  // frame number, <= 31 bits
+    if (time_value > 0x7FFFFFFF)
+      fmt_err("invalid frame header, frame number too large");
+    time_is_frame_number = true;
+  }
+
+  if (read_8bit_bs) block_size = (int32_t)b.read_u8() + 1;
+  if (read_16bit_bs) {
+    uint32_t bs = b.read_be_u16();
+    // 0xffff would exceed the 16-bit max block size in the streaminfo.
+    if (bs == 0xFFFF) fmt_err("invalid block size, exceeds 65535");
+    block_size = (int32_t)bs + 1;
+  }
+  if (read_8bit_sr) (void)b.read_u8();
+  if (read_16bit_sr) (void)b.read_be_u16();
+  if (read_16bit_sr_ten) (void)b.read_be_u16();
+  (void)kSampleRates;
+
+  uint8_t computed = crc8_range(b.base + hdr_start, b.base + b.bytepos());
+  uint32_t presumed = b.read_u8();
+  if (computed != presumed) fmt_err("frame header CRC mismatch");
+
+  h.block_size = block_size;
+  h.bps = bps;
+  // Reference quirk (`src/frame.rs:771-773`): with fixed-size blocking the
+  // time is current_block_size * frame_number.
+  h.time = time_is_frame_number ? (int64_t)block_size * (int64_t)time_value
+                                : (int64_t)time_value;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Subframes (claxon `src/subframe.rs`).
+
+struct SubDesc {
+  int32_t order, shift, wasted, pad_;
+  int32_t coefs[32];  // left-padded: coefs[31] multiplies out[t-1]
+};
+
+void decode_rice_partition(Bits& b, int32_t* buf, int64_t start, int64_t len,
+                           bool rice2) {
+  int param_bits = rice2 ? 5 : 4;
+  uint32_t rice_param = b.read(param_bits);
+  if (rice_param == (uint32_t)((1 << param_bits) - 1))
+    unsupported("unencoded binary is not yet implemented");
+  for (int64_t i = start; i < start + len; ++i) {
+    uint32_t q = b.read_unary();
+    uint32_t r = b.read((int)rice_param);
+    // u32 wrap like the reference (`src/subframe.rs:340`).
+    uint32_t v = (q << rice_param) | r;
+    buf[i] = (v & 1) ? (int32_t)~(v >> 1) : (int32_t)(v >> 1);
+  }
+}
+
+void decode_residual(Bits& b, int64_t block_size, int32_t* buf, int64_t start,
+                     int64_t len) {
+  uint32_t method = b.read(2);
+  bool rice2;
+  if (method == 0) rice2 = false;
+  else if (method == 1) rice2 = true;
+  else fmt_err("invalid residual, encountered reserved value");
+
+  uint32_t order = b.read(4);
+  int64_t n_partitions = (int64_t)1 << order;
+  int64_t per_partition = block_size >> order;
+  if (block_size & (n_partitions - 1)) fmt_err("invalid partition order");
+  int64_t n_warm_up = block_size - len;
+  if (n_warm_up > per_partition) fmt_err("invalid residual");
+
+  int64_t pos = start;
+  int64_t length = per_partition - n_warm_up;
+  for (int64_t p = 0; p < n_partitions; ++p) {
+    decode_rice_partition(b, buf, pos, length, rice2);
+    pos += length;
+    length = per_partition;
+  }
+}
+
+void decode_verbatim(Bits& b, int bps, int32_t* buf, int64_t start,
+                     int64_t len) {
+  for (int64_t i = start; i < start + len; ++i)
+    buf[i] = extend_sign(b.read(bps), bps);
+}
+
+// Pascal's-triangle coefficients (`src/subframe.rs:427-431`), oldest first.
+const int32_t kFixedCoefs[5][4] = {
+    {}, {1}, {-1, 2}, {1, -3, 3}, {-1, 4, -6, 4}};
+
+// Parse one subframe: fills buf[0..block_size) with warm-up ++ residuals
+// (no prediction applied) and the descriptor. Mirrors claxon
+// `src/subframe.rs:29-91,184-228,651-721` and claxon_tpu.extract.
+void parse_subframe(Bits& b, int bps, int64_t block_size, int32_t* buf,
+                    SubDesc& d) {
+  // Header: one padding bit, 6-bit type, optional unary wasted-bits count.
+  if (b.read_bit()) fmt_err("invalid subframe header");
+  uint32_t n = b.read(6);
+  enum { CONSTANT, VERBATIM, FIXED, LPC } type;
+  int order = 0;
+  if (n == 0) {
+    type = CONSTANT;
+  } else if (n == 1) {
+    type = VERBATIM;
+  } else if ((n & 0x3E) == 0x02 || (n & 0x3C) == 0x04 || (n & 0x30) == 0x10) {
+    fmt_err("invalid subframe header, encountered reserved value");
+    __builtin_unreachable();
+  } else if ((n & 0x38) == 0x08) {
+    order = (int)(n & 0x07);
+    if (order > 4)
+      fmt_err("invalid subframe header, encountered reserved value");
+    type = FIXED;
+  } else {
+    type = LPC;
+    order = (int)(n & 0x1F) + 1;
+  }
+
+  int wasted = 0;
+  if (b.read_bit()) wasted = 1 + (int)b.read_unary();
+  if (wasted > 31) fmt_err("wasted bits per sample must not exceed 31");
+  if (wasted >= bps) fmt_err("subframe has no non-wasted bits");
+  int sf_bps = bps - wasted;
+
+  std::memset(d.coefs, 0, sizeof(d.coefs));
+  d.wasted = wasted;
+  d.shift = 0;
+  d.order = 0;
+  d.pad_ = 0;
+
+  switch (type) {
+    case CONSTANT: {
+      int32_t v = extend_sign(b.read(sf_bps), sf_bps);
+      for (int64_t i = 0; i < block_size; ++i) buf[i] = v;
+      return;
+    }
+    case VERBATIM:
+      decode_verbatim(b, sf_bps, buf, 0, block_size);
+      return;
+    case FIXED: {
+      if (block_size < order)
+        fmt_err("invalid fixed subframe, order is larger than block size");
+      decode_verbatim(b, sf_bps, buf, 0, order);
+      decode_residual(b, block_size, buf, order, block_size - order);
+      d.order = order;
+      for (int k = 0; k < order; ++k) d.coefs[32 - order + k] = kFixedCoefs[order][k];
+      return;
+    }
+    case LPC: {
+      if (block_size < order)
+        fmt_err("invalid LPC subframe, lpc order is larger than block size");
+      decode_verbatim(b, sf_bps, buf, 0, order);
+      int qlp_precision = (int)b.read(4) + 1;
+      if (qlp_precision - 1 == 0x0F)
+        fmt_err("invalid subframe, qlp precision value invalid");
+      int32_t qlp_shift = extend_sign(b.read(5), 5);
+      if (qlp_shift < 0)
+        unsupported(
+            "a negative quantized linear predictor coefficient shift is "
+            "not supported, please file a bug.");
+      // Most recent sample's coefficient first in the stream; store
+      // oldest-first, right-aligned at column 31.
+      for (int k = order - 1; k >= 0; --k)
+        d.coefs[32 - order + k] = extend_sign(b.read(qlp_precision), qlp_precision);
+      decode_residual(b, block_size, buf, order, block_size - order);
+      d.order = order;
+      d.shift = qlp_shift;
+      return;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Host prediction + epilogue (decode mode; the reference's hot loops,
+// `src/subframe.rs:417-474,524-614`, `src/frame.rs:318-399`).
+
+void predict_in_place(const SubDesc& d, int32_t* buf, int64_t block_size) {
+  int order = d.order;
+  if (order == 0) return;
+  const int32_t* c = d.coefs + 32 - order;
+  for (int64_t i = order; i < block_size; ++i) {
+    int64_t acc = 0;
+    for (int k = 0; k < order; ++k)
+      acc += (int64_t)c[k] * (int64_t)buf[i - order + k];
+    int64_t pred = acc >> d.shift;
+    buf[i] = (int32_t)(uint32_t)((uint64_t)pred + (uint32_t)buf[i]);
+  }
+}
+
+void apply_wasted(int wasted, int32_t* buf, int64_t n) {
+  if (!wasted) return;
+  for (int64_t i = 0; i < n; ++i)
+    buf[i] = (int32_t)((uint32_t)buf[i] << wasted);
+}
+
+// ---------------------------------------------------------------------------
+// Whole-stream walkers.
+
+struct Frame {
+  int64_t time;
+  int32_t block_size, channels, mode, bps;
+};
+
+struct Handle {
+  std::vector<Frame> frames;
+  std::vector<SubDesc> subs;
+  std::vector<int32_t> samples;  // extract: lane-concatenated x buffers
+  std::vector<int32_t> pcm;      // decode: interleaved samples
+};
+
+// Per-channel subframe bps: the side channel carries one extra bit
+// (`src/frame.rs:705-742`).
+inline int channel_bps(int mode, int ch, int bps) {
+  switch (mode) {
+    case 1: return ch == 1 ? bps + 1 : bps;  // left/side
+    case 2: return ch == 0 ? bps + 1 : bps;  // right/side
+    case 3: return ch == 1 ? bps + 1 : bps;  // mid/side
+    default: return bps;
+  }
+}
+
+void walk_stream(const uint8_t* data, size_t len, bool full_decode,
+                 Handle& h) {
+  Bits b(data, len);
+  std::vector<int32_t> scratch;
+  while (true) {
+    size_t frame_start = b.bytepos();
+    Header hdr;
+    if (!read_frame_header(b, hdr)) break;
+    if (hdr.bps < 0) unsupported("header without bits per sample info");
+
+    int64_t bs = hdr.block_size;
+    int nch = hdr.channels;
+
+    int32_t* bufs;
+    size_t sub0 = h.subs.size();
+    if (full_decode) {
+      scratch.resize((size_t)bs * nch);
+      bufs = scratch.data();
+    } else {
+      size_t off = h.samples.size();
+      h.samples.resize(off + (size_t)bs * nch);
+      bufs = h.samples.data() + off;
+    }
+
+    for (int ch = 0; ch < nch; ++ch) {
+      SubDesc d;
+      parse_subframe(b, channel_bps(hdr.mode, ch, hdr.bps), bs,
+                     bufs + (size_t)ch * bs, d);
+      h.subs.push_back(d);
+    }
+
+    b.align();
+    uint16_t computed = crc16_range(b.base + frame_start, b.base + b.bytepos());
+    uint32_t presumed = b.read_be_u16();
+    if (computed != presumed) fmt_err("frame CRC mismatch");
+
+    h.frames.push_back(
+        Frame{hdr.time, hdr.block_size, hdr.channels, hdr.mode, hdr.bps});
+
+    if (full_decode) {
+      for (int ch = 0; ch < nch; ++ch) {
+        const SubDesc& d = h.subs[sub0 + ch];
+        int32_t* buf = bufs + (size_t)ch * bs;
+        predict_in_place(d, buf, bs);
+        apply_wasted(d.wasted, buf, bs);
+      }
+      if (hdr.mode != 0) {
+        int32_t* c0 = bufs;
+        int32_t* c1 = bufs + bs;
+        if (hdr.mode == 1) {          // left/side: right = left - side
+          for (int64_t i = 0; i < bs; ++i)
+            c1[i] = (int32_t)((uint32_t)c0[i] - (uint32_t)c1[i]);
+        } else if (hdr.mode == 2) {   // right/side: left = side + right
+          for (int64_t i = 0; i < bs; ++i)
+            c0[i] = (int32_t)((uint32_t)c0[i] + (uint32_t)c1[i]);
+        } else {                      // mid/side
+          for (int64_t i = 0; i < bs; ++i) {
+            int32_t mid2 =
+                (int32_t)((uint32_t)c0[i] << 1) | (c1[i] & 1);
+            int32_t side = c1[i];
+            // mid2 +- side is always even; >> is the truncating div by 2.
+            c0[i] = (int32_t)((uint32_t)mid2 + (uint32_t)side) >> 1;
+            c1[i] = (int32_t)((uint32_t)mid2 - (uint32_t)side) >> 1;
+          }
+        }
+      }
+      size_t off = h.pcm.size();
+      h.pcm.resize(off + (size_t)bs * nch);
+      int32_t* out = h.pcm.data() + off;
+      for (int ch = 0; ch < nch; ++ch) {
+        const int32_t* buf = bufs + (size_t)ch * bs;
+        for (int64_t i = 0; i < bs; ++i) out[i * nch + ch] = buf[i];
+      }
+      h.subs.resize(sub0);  // decode mode keeps only frames + pcm
+    }
+  }
+}
+
+Handle* run(const uint8_t* data, uint64_t len, bool full_decode,
+            int32_t* err_code, char* err_msg, uint64_t msg_cap) {
+  Handle* h = new Handle();
+  try {
+    walk_stream(data, (size_t)len, full_decode, *h);
+    *err_code = 0;
+    return h;
+  } catch (const Err& e) {
+    *err_code = e.code;
+    if (msg_cap) {
+      std::strncpy(err_msg, e.msg, msg_cap - 1);
+      err_msg[msg_cap - 1] = 0;
+    }
+  } catch (const std::exception& e) {
+    *err_code = 100;
+    if (msg_cap) {
+      std::strncpy(err_msg, e.what(), msg_cap - 1);
+      err_msg[msg_cap - 1] = 0;
+    }
+  }
+  delete h;
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct CxtFrame {
+  int64_t time;
+  int32_t block_size, channels, mode, bps;
+};
+
+void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
+                  char* err_msg, uint64_t msg_cap) {
+  return run(data, len, /*full_decode=*/false, err_code, err_msg, msg_cap);
+}
+
+void* cxt_decode(const uint8_t* data, uint64_t len, int32_t* err_code,
+                 char* err_msg, uint64_t msg_cap) {
+  return run(data, len, /*full_decode=*/true, err_code, err_msg, msg_cap);
+}
+
+uint64_t cxt_n_frames(void* h) { return ((Handle*)h)->frames.size(); }
+uint64_t cxt_n_subframes(void* h) { return ((Handle*)h)->subs.size(); }
+uint64_t cxt_n_lane_samples(void* h) { return ((Handle*)h)->samples.size(); }
+uint64_t cxt_pcm_len(void* h) { return ((Handle*)h)->pcm.size(); }
+
+void cxt_fill(void* hv, CxtFrame* frames, void* subs, int32_t* samples) {
+  Handle* h = (Handle*)hv;
+  static_assert(sizeof(CxtFrame) == 24, "CxtFrame layout");
+  static_assert(sizeof(SubDesc) == 16 + 128, "SubDesc layout");
+  if (frames && !h->frames.empty())
+    std::memcpy(frames, h->frames.data(),
+                h->frames.size() * sizeof(CxtFrame));
+  if (subs && !h->subs.empty())
+    std::memcpy(subs, h->subs.data(), h->subs.size() * sizeof(SubDesc));
+  if (samples && !h->samples.empty())
+    std::memcpy(samples, h->samples.data(),
+                h->samples.size() * sizeof(int32_t));
+}
+
+void cxt_pcm_fill(void* hv, int32_t* out) {
+  Handle* h = (Handle*)hv;
+  if (out && !h->pcm.empty())
+    std::memcpy(out, h->pcm.data(), h->pcm.size() * sizeof(int32_t));
+}
+
+void cxt_free(void* h) { delete (Handle*)h; }
+
+int32_t cxt_abi_version() { return 1; }
+
+}  // extern "C"

@@ -10,8 +10,16 @@ Semantics mirror the reference exactly:
               right = (mid'-side)>>1 (`src/frame.rs:370-389`; the sums are
               always even so the truncating division is an arithmetic shift).
 
+Lane layout contract: lanes are *pair-aligned* -- a stereo-decorrelated
+frame's two subframes occupy lanes (2p, 2p+1), and ``pair_modes[p]`` holds
+its channel-assignment code. Pairs with mode 0 (independent channels, mono
+streams, >2-channel streams, padding) pass through unchanged, so their
+pairing is arbitrary. This makes the whole epilogue a reshape plus
+elementwise selects -- no gather/scatter -- so a lane-sharded multi-chip
+decode needs zero collectives here.
+
 Channel-assignment codes: 0 independent, 1 left/side, 2 right/side,
-3 mid/side.
+3 mid/side (``claxon_tpu.extract.MODE_CODES``).
 """
 
 import jax
@@ -27,25 +35,25 @@ MODE_MID_SIDE = 3
 
 
 @jax.jit
-def apply_epilogue(samples, wasted, ch0_idx, ch1_idx, modes):
+def apply_epilogue(samples, wasted, pair_modes):
     """Undo wasted-bits shifts, then stereo decorrelation.
 
     Args:
-      samples: (L, T) int32 synthesized subframe outputs.
-      wasted:  (L,) int32 wasted bits per lane (applied to every lane).
-      ch0_idx: (P,) int32 lane index of each stereo pair's first channel.
-      ch1_idx: (P,) int32 lane index of each pair's second channel.
-      modes:   (P,) int32 channel-assignment code per pair.
+      samples:    (L, T) int32 synthesized subframe outputs; L is even.
+      wasted:     (L,) int32 wasted bits per lane (applied to every lane).
+      pair_modes: (L//2,) int32 channel-assignment code of each lane pair
+                  (2p, 2p+1); 0 passes the pair through unchanged.
 
     Returns:
-      (L, T) int32 with wasted-bits applied everywhere and the paired lanes
-      decorrelated in place (independent lanes pass through).
+      (L, T) int32 with wasted-bits applied everywhere and the stereo pairs
+      decorrelated in place.
     """
     samples = samples << wasted[:, None]
-
-    c0 = samples[ch0_idx]
-    c1 = samples[ch1_idx]
-    m = modes[:, None]
+    L, T = samples.shape
+    pairs = samples.reshape(L // 2, 2, T)
+    c0 = pairs[:, 0]
+    c1 = pairs[:, 1]
+    m = pair_modes[:, None]
 
     # left/side: ch1 <- ch0 - ch1
     ls0, ls1 = c0, c0 - c1
@@ -63,6 +71,4 @@ def apply_epilogue(samples, wasted, ch0_idx, ch1_idx, modes):
                      jnp.where(m == MODE_RIGHT_SIDE, rs1,
                                jnp.where(m == MODE_MID_SIDE, ms1, c1)))
 
-    samples = samples.at[ch0_idx].set(out0)
-    samples = samples.at[ch1_idx].set(out1)
-    return samples
+    return jnp.stack([out0, out1], axis=1).reshape(L, T)

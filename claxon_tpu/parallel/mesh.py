@@ -1,0 +1,81 @@
+"""Mesh construction and the sharded decode step.
+
+See the package docstring for the design: frames are independent
+(reference `src/frame.rs:667-779`), so the bucket lane axis shards as pure
+data parallelism with zero collectives.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+
+from ..pipeline import decode_batch as _decode_batch
+
+LANE_AXIS = "streams"
+
+__all__ = ["make_mesh", "make_decode_step", "decode_batch_sharded",
+           "LANE_AXIS"]
+
+
+def make_mesh(n_devices=None, devices=None):
+    """A 1-D ``jax.sharding.Mesh`` over ``n_devices`` (default: all)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"need {n_devices} devices, have {len(devices)}")
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (LANE_AXIS,))
+
+
+def lane_quantum(mesh):
+    """Lane padding quantum: a multiple of both the VPU row (128) and
+    2 x mesh size, so every shard gets an equal, pair-aligned lane count."""
+    n = mesh.devices.size
+    return (128 * 2 * n) // math.gcd(128, 2 * n)
+
+
+def make_decode_step(mesh):
+    """Build the jitted, mesh-sharded whole-decode-step program.
+
+    Shardings: every lane-indexed array is sharded on its lane axis over
+    ``LANE_AXIS``; there is no replicated model state. The synthesis scan
+    runs in lockstep on every chip over its lane shard; XLA inserts no
+    collectives (verifiable: the compiled HLO contains no all-reduce /
+    all-gather / collective-permute).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.predict import synthesize
+    from ..ops.epilogue import apply_epilogue
+
+    lanes = NamedSharding(mesh, P(LANE_AXIS, None))
+    lanevec = NamedSharding(mesh, P(LANE_AXIS))
+
+    @partial(jax.jit,
+             in_shardings=(lanes, lanes, lanevec, lanevec, lanevec, lanevec),
+             out_shardings=lanes)
+    def decode_step(x, coefs, shifts, orders, wasted, pair_modes):
+        out = synthesize(x, coefs, shifts, orders)
+        return apply_epilogue(out, wasted, pair_modes)
+
+    return decode_step
+
+
+def decode_batch_sharded(batch, mesh=None):
+    """Decode a ``StreamBatch`` with buckets sharded across the mesh.
+
+    Mirrors ``claxon_tpu.pipeline.decode_batch`` but pads lanes to the
+    mesh-aware quantum and dispatches the sharded step.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    step = make_decode_step(mesh)
+    return _decode_batch(batch, decode_bucket=step,
+                         lane_quantum=lane_quantum(mesh))

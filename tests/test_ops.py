@@ -136,8 +136,8 @@ def test_synthesize_batch_matches_oracle():
 
 
 def test_epilogue_wasted_and_stereo():
-    # Lanes: 0-1 mid/side pair, 2-3 left/side pair, 4-5 right/side pair,
-    # 6 independent with wasted bits.
+    # Pairs: 0 mid/side, 1 left/side, 2 right/side, 3 independent with
+    # wasted bits on the first lane.
     samples = np.array([
         [-2, -14, 12, -6],     # mid
         [7, 38, 142, 238],     # side
@@ -146,14 +146,12 @@ def test_epilogue_wasted_and_stereo():
         [7, 38, 142, 238],     # side
         [-5, -33, -59, -125],  # right
         [1, -2, 3, -4],        # independent, wasted=4
+        [0, 0, 0, 0],          # padding lane
     ], dtype=np.int32)
-    wasted = np.array([0, 0, 0, 0, 0, 0, 4], dtype=np.int32)
-    ch0 = np.array([0, 2, 4], dtype=np.int32)
-    ch1 = np.array([1, 3, 5], dtype=np.int32)
-    modes = np.array([3, 1, 2], dtype=np.int32)
+    wasted = np.array([0, 0, 0, 0, 0, 0, 4, 0], dtype=np.int32)
+    pair_modes = np.array([3, 1, 2, 0], dtype=np.int32)
     out = np.asarray(apply_epilogue(jnp.asarray(samples), jnp.asarray(wasted),
-                                    jnp.asarray(ch0), jnp.asarray(ch1),
-                                    jnp.asarray(modes)))
+                                    jnp.asarray(pair_modes)))
     # Golden triples from the reference frame tests (`src/frame.rs:336-399`).
     assert out[0].tolist() == [2, 5, 83, 113]       # left from mid/side
     assert out[1].tolist() == [-5, -33, -59, -125]  # right from mid/side
@@ -162,3 +160,4 @@ def test_epilogue_wasted_and_stereo():
     assert out[4].tolist() == [2, 5, 83, 113]       # left = side + right
     assert out[5].tolist() == [-5, -33, -59, -125]  # right unchanged
     assert out[6].tolist() == [16, -32, 48, -64]    # wasted-bits shift
+    assert out[7].tolist() == [0, 0, 0, 0]          # padding passthrough

@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the sharded
+decode step must be bit-exact with the single-device path, collective-free,
+and the driver entry points must work."""
+
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+import jax
+
+from claxon_tpu import FlacReader
+from claxon_tpu.extract import extract_stream
+from claxon_tpu.parallel import (make_mesh, make_decode_step,
+                                 decode_batch_sharded, lane_quantum)
+from claxon_tpu.pipeline import decode_batch
+from claxon_tpu.testing import encode_flac, synth_music
+from util import decode_all_blocks, interleave
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_lane_quantum_pair_aligned():
+    mesh = make_mesh(8)
+    q = lane_quantum(mesh)
+    assert q % 128 == 0 and q % (2 * 8) == 0
+
+
+@needs_8
+@pytest.mark.parametrize("n", [2, 8])
+def test_sharded_matches_single_device(n):
+    pcm = synth_music(9000, channels=2, bps=16, seed=21)
+    data = encode_flac(pcm, 44100, 16, block_size=1024)
+    batch = extract_stream(data)
+    single = decode_batch(batch)
+    sharded = decode_batch_sharded(batch, make_mesh(n))
+    assert np.array_equal(single.pcm, sharded.pcm)
+    scalar = interleave(decode_all_blocks(FlacReader(bytes(data))))
+    assert np.array_equal(sharded.pcm, scalar)
+
+
+@needs_8
+def test_decode_step_collective_free():
+    mesh = make_mesh(8)
+    step = make_decode_step(mesh)
+    L = lane_quantum(mesh)
+    x = np.zeros((L, 64), np.int32)
+    coefs = np.zeros((L, 32), np.int32)
+    vec = np.zeros(L, np.int32)
+    hlo = step.lower(x, coefs, vec, vec, vec,
+                     np.zeros(L // 2, np.int32)).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo
+
+
+def test_graft_entry_single_chip():
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    out.block_until_ready()
+    assert out.shape == args[0].shape
+
+
+@needs_8
+def test_graft_entry_multichip():
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
