@@ -25,8 +25,9 @@ Channel-assignment codes: 0 independent, 1 left/side, 2 right/side,
 import jax
 import jax.numpy as jnp
 
-__all__ = ["apply_epilogue", "MODE_INDEPENDENT", "MODE_LEFT_SIDE",
-           "MODE_RIGHT_SIDE", "MODE_MID_SIDE"]
+__all__ = ["apply_epilogue", "pack_int16_pairs", "unpack_int16_pairs",
+           "MODE_INDEPENDENT", "MODE_LEFT_SIDE", "MODE_RIGHT_SIDE",
+           "MODE_MID_SIDE"]
 
 MODE_INDEPENDENT = 0
 MODE_LEFT_SIDE = 1
@@ -72,3 +73,29 @@ def apply_epilogue(samples, wasted, pair_modes):
                                jnp.where(m == MODE_MID_SIDE, ms1, c1)))
 
     return jnp.stack([out0, out1], axis=1).reshape(L, T)
+
+
+def pack_int16_pairs(out):
+    """Pack (L, T) int32 samples into ((L, T//2) int32, overflow flag).
+
+    Device-side transfer compression: 16-bit audio (the overwhelmingly
+    common case) fits every decoded sample in int16, so the PCM crosses the
+    host link at half width -- word w holds sample 2t in its low half and
+    sample 2t+1 in its high half, which a little-endian host reinterprets
+    as int16 pairs with a zero-copy ``.view``. The flag reports whether any
+    sample exceeded int16 (possible only for invalid streams, whose
+    garbage-not-crash contract the int32 refetch path preserves).
+    """
+    lo = out[:, 0::2] & jnp.int32(0xFFFF)
+    hi = out[:, 1::2] << 16
+    overflow = jnp.any((out > 32767) | (out < -32768))
+    return hi | lo, overflow.astype(jnp.int32)
+
+
+def unpack_int16_pairs(w):
+    """Inverse of the host-side int16 pair packing for *input* residuals:
+    (L, T//2) int32 -> (L, T) int32 with sign extension."""
+    L = w.shape[0]
+    lo = (w << 16) >> 16
+    hi = w >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(L, -1)

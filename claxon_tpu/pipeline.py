@@ -13,16 +13,19 @@ blocks of real-world FLAC, a whole file usually hits a single bucket and the
 program is compiled exactly once per process.
 """
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List
 
 import numpy as np
 
 from .extract import extract_stream, StreamBatch, MODE_CODES
 from .ops.predict import synthesize, pack_coefficients, ORDER_MAX
-from .ops.epilogue import apply_epilogue
+from .ops.epilogue import (apply_epilogue, pack_int16_pairs,
+                           unpack_int16_pairs)
 
 __all__ = ["decode_stream", "decode_streams", "decode_batch",
+           "decode_batches", "decode_streams_device", "DeviceDecoded",
            "DecodedStream", "bucket_shape", "device_decode_bucket"]
 
 # Time-axis bucket sizes: the common FLAC block sizes plus power-of-two
@@ -46,14 +49,32 @@ def _jnp():
     return jnp
 
 
+@lru_cache(maxsize=None)
+def _decode_program(in_packed, out_packed):
+    """The fused per-bucket device program, compiled once per (shape,
+    packing) combination. Input/output int16-pair packing halves the bytes
+    crossing the host link for 16-bit audio (see ops.epilogue)."""
+    import jax
+
+    @jax.jit
+    def prog(x, coefs, shifts, orders, wasted, pair_modes):
+        if in_packed:
+            x = unpack_int16_pairs(x)
+        out = synthesize(x, coefs, shifts, orders)
+        out = apply_epilogue(out, wasted, pair_modes)
+        if out_packed:
+            packed, flag = pack_int16_pairs(out)
+            return out, packed, flag
+        return out
+
+    return prog
+
+
 def device_decode_bucket(x, coefs, shifts, orders, wasted, pair_modes):
     """Run the fused device program on one bucket. All arrays pre-padded;
     lanes pair-aligned (see ops.epilogue lane layout contract)."""
-    jnp = _jnp()
-    out = synthesize(jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
-                     jnp.asarray(orders))
-    out = apply_epilogue(out, jnp.asarray(wasted), jnp.asarray(pair_modes))
-    return out
+    return _decode_program(False, False)(x, coefs, shifts, orders, wasted,
+                                         pair_modes)
 
 
 @dataclass
@@ -139,6 +160,83 @@ def decode_frames_to(frames, targets, decode_bucket=None,
         scatter_bucket(out, frames, frame_idx, n_ch, targets)
 
 
+@dataclass
+class _BucketDispatch:
+    """One in-flight device bucket: frame membership + device results."""
+    frame_idx: List[int]
+    n_ch: int
+    out_full: object            # (L, T) int32, on device
+    out_packed: object = None   # (L, T//2) int32, on device (16-bit path)
+    flag: object = None         # () int32 overflow flag, on device
+
+
+@dataclass
+class DeviceDecoded:
+    """Decoded PCM resident on the device, bucket-major.
+
+    This is the native product of a TPU framework: decoded audio that a TPU
+    consumer (a training input pipeline, a feature extractor) reads straight
+    from HBM in fixed-shape buckets -- no host round trip. ``to_host()``
+    materializes the reference-shaped per-stream PCM, fetching the int16
+    packed form when the whole bucket fits (half the link bytes) and falling
+    back to int32 when the device-side overflow flag fires (invalid
+    streams' garbage-not-crash contract).
+    """
+    results: List["DecodedStream"]
+    frames: list
+    targets: list
+    dispatches: List[_BucketDispatch]
+
+    def block_until_ready(self):
+        import jax
+        jax.block_until_ready([d.out_full for d in self.dispatches])
+        return self
+
+    def device_buckets(self):
+        """[(frame_idx, n_ch, (L, T) int32 device array), ...]"""
+        return [(d.frame_idx, d.n_ch, d.out_full) for d in self.dispatches]
+
+    def to_host(self):
+        for d in self.dispatches:
+            if d.out_packed is not None and not int(np.asarray(d.flag)):
+                # Little-endian reinterpret: (L, T//2) int32 -> (L, T) int16.
+                out = np.asarray(d.out_packed).view(np.int16)
+            else:
+                out = np.asarray(d.out_full)
+            scatter_bucket(out, self.frames, d.frame_idx, d.n_ch,
+                           self.targets)
+        return self.results
+
+
+def _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum):
+    """Pack one bucket and launch the device program asynchronously."""
+    x, coefs, shifts, orders, wasted, pair_modes = pack_bucket(
+        frames, frame_idx, n_ch, t_bucket, lane_quantum)
+    L, T = x.shape
+
+    # Input packing: when every value (residuals + warm-up) fits int16 and
+    # T is even, ship half the bytes and unpack on device.
+    in_packed = (T % 2 == 0 and x.min() >= -32768 and x.max() <= 32767)
+    if in_packed:
+        x16 = x.reshape(L, T // 2, 2).astype(np.int16)
+        x = np.ascontiguousarray(x16).view(np.int32).reshape(L, T // 2)
+
+    # Output packing: final PCM fits bps bits for valid streams; the device
+    # flag guards invalid ones.
+    out_packed = (T % 2 == 0 and
+                  all(frames[fi].bps <= 16 for fi in frame_idx))
+
+    jnp = _jnp()
+    prog = _decode_program(in_packed, out_packed)
+    args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
+            jnp.asarray(orders), jnp.asarray(wasted),
+            jnp.asarray(pair_modes))
+    if out_packed:
+        out, packed, flag = prog(*args)
+        return _BucketDispatch(frame_idx, n_ch, out, packed, flag)
+    return _BucketDispatch(frame_idx, n_ch, prog(*args))
+
+
 def frame_offsets(frames):
     """Output-sample start offset of each frame (len(frames)+1 entries)."""
     offsets = np.zeros(len(frames) + 1, dtype=np.int64)
@@ -157,11 +255,8 @@ def decode_batch(batch: StreamBatch, decode_bucket=None,
     return decode_batches([batch], decode_bucket, lane_quantum)[0]
 
 
-def decode_batches(batches, decode_bucket=None,
-                   lane_quantum=_L_QUANTUM) -> List[DecodedStream]:
-    """Decode many StreamBatches at once; frames from *all* streams share
-    device buckets, so a corpus of short files still fills wide lanes --
-    this is the production many-streams-per-chip serving path."""
+def _prepare_outputs(batches):
+    """Allocate per-stream PCM and the flat frame/target lists."""
     frames, targets, results = [], [], []
     for batch in batches:
         si = batch.streaminfo
@@ -175,6 +270,33 @@ def decode_batches(batches, decode_bucket=None,
             streaminfo=si, pcm=pcm,
             frame_times=[f.time for f in batch.frames],
             frame_sizes=[f.block_size for f in batch.frames]))
+    return frames, targets, results
+
+
+def decode_batches_device(batches, lane_quantum=_L_QUANTUM) -> DeviceDecoded:
+    """Decode many StreamBatches into device-resident buckets.
+
+    All buckets are dispatched before any result is awaited, so host
+    packing, host-to-device transfer, and device compute overlap across
+    buckets (JAX async dispatch).
+    """
+    frames, targets, results = _prepare_outputs(batches)
+    dispatches = [
+        _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum)
+        for (t_bucket, n_ch), frame_idx in
+        group_frames(frames, lane_quantum).items()
+    ]
+    return DeviceDecoded(results, frames, targets, dispatches)
+
+
+def decode_batches(batches, decode_bucket=None,
+                   lane_quantum=_L_QUANTUM) -> List[DecodedStream]:
+    """Decode many StreamBatches at once; frames from *all* streams share
+    device buckets, so a corpus of short files still fills wide lanes --
+    this is the production many-streams-per-chip serving path."""
+    if decode_bucket is None:
+        return decode_batches_device(batches, lane_quantum).to_host()
+    frames, targets, results = _prepare_outputs(batches)
     decode_frames_to(frames, targets, decode_bucket, lane_quantum)
     return results
 
@@ -204,3 +326,11 @@ def decode_streams(datas, use_native=True, decode_bucket=None,
     """Decode many FLAC streams in one batched device dispatch."""
     return decode_batches([_extract(d, use_native) for d in datas],
                           decode_bucket, lane_quantum)
+
+
+def decode_streams_device(datas, use_native=True,
+                          lane_quantum=_L_QUANTUM) -> DeviceDecoded:
+    """Decode many FLAC streams into device-resident PCM buckets -- the
+    zero-host-round-trip path for feeding TPU consumers directly."""
+    return decode_batches_device([_extract(d, use_native) for d in datas],
+                                 lane_quantum)

@@ -35,6 +35,14 @@ class FlacReaderOptions:
         return self.read_vorbis_comment
 
 
+def _open_file(filename):
+    from .error import IoError
+    try:
+        return open(filename, "rb")
+    except OSError as e:
+        raise IoError(str(e)) from e
+
+
 def read_stream_header(input):
     """Check the 'fLaC' magic; detect ID3-prefixed files with a helpful
     error like the reference (`src/lib.rs:186-205`)."""
@@ -68,6 +76,12 @@ class FlacReader:
         options = options or FlacReaderOptions()
         if isinstance(reader, (bytes, bytearray, memoryview)):
             buf_reader = MemReader(reader)
+        elif isinstance(reader, MemReader):
+            # An in-memory cursor is used directly, like the reference's
+            # io::Cursor input (`src/input.rs:234-278`): the caller keeps a
+            # handle and can inspect ``.pos`` (e.g. to measure metadata
+            # size, `examples/bench_decode.rs:42-45`).
+            buf_reader = reader
         else:
             buf_reader = BufferedReader(reader)
 
@@ -111,13 +125,16 @@ class FlacReader:
     @classmethod
     def open(cls, filename):
         """Create a reader that reads from the file at ``filename``
-        (`src/lib.rs:449-458`). No extra buffering is needed."""
-        return cls(open(filename, "rb"))
+        (`src/lib.rs:449-458`). No extra buffering is needed.
+
+        OS errors surface as ``IoError``, like the reference's
+        ``Error::IoError`` wrapping of ``File::open`` failures."""
+        return cls(_open_file(filename))
 
     @classmethod
     def open_ext(cls, filename, options):
         """``open`` with ``FlacReaderOptions`` (`src/lib.rs:465-471`)."""
-        return cls(open(filename, "rb"), options)
+        return cls(_open_file(filename), options)
 
     @classmethod
     def new(cls, reader):

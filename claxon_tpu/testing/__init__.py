@@ -9,5 +9,7 @@ role.
 """
 
 from .flacgen import encode_flac, synth_music
+from .containers_gen import split_flac, mux_ogg_flac, mux_mp4_flac
 
-__all__ = ["encode_flac", "synth_music"]
+__all__ = ["encode_flac", "synth_music", "split_flac", "mux_ogg_flac",
+           "mux_mp4_flac"]

@@ -1,0 +1,113 @@
+"""Round-trip tests for the FLAC-in-Ogg and FLAC-in-MP4 container layers
+(reference parity: `examples/decode_ogg.rs`, `examples/decode_mp4.rs`).
+The muxers live in claxon_tpu.testing; the demuxers under test in
+claxon_tpu.containers."""
+
+import io
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from claxon_tpu import FlacReader
+from claxon_tpu.containers import read_flac_from_ogg, read_flac_from_mp4
+from claxon_tpu.containers.ogg import OggPacketReader
+from claxon_tpu.error import FormatError
+from claxon_tpu.frame import FrameReader
+from claxon_tpu.io.readers import MemReader
+from claxon_tpu.testing import (encode_flac, synth_music, split_flac,
+                                mux_ogg_flac, mux_mp4_flac)
+from util import decode_all_blocks, interleave
+
+
+def make_flac(n=9000, tags=(("TITLE", "t"), ("ARTIST", "a")), **kw):
+    pcm = synth_music(n, channels=2, bps=16, seed=77)
+    return encode_flac(pcm, 44100, 16, block_size=1024, tags=tags, **kw)
+
+
+def reference_pcm(flac):
+    return interleave(decode_all_blocks(FlacReader(flac)))
+
+
+def test_split_flac_roundtrip():
+    flac = make_flac()
+    blocks, frames = split_flac(flac)
+    assert len(frames) == 9  # ceil(9000 / 1024)
+    assert b"fLaC" + b"".join(blocks) + b"".join(frames) == flac
+
+
+def test_ogg_roundtrip():
+    flac = make_flac()
+    ogg = mux_ogg_flac(flac)
+    want = reference_pcm(flac)
+
+    streaminfo, headers, audio = read_flac_from_ogg(io.BytesIO(ogg))
+    assert streaminfo.sample_rate == 44100
+    n_headers = sum(1 for _ in headers)
+    assert n_headers >= 1  # at least the Vorbis comment block
+
+    parts = []
+    buf = None
+    for packet in audio:
+        block = FrameReader(MemReader(packet)).read_next_or_eof(buf)
+        parts.append(np.stack([np.array(block.channel(c))
+                               for c in range(block.channels())], axis=1))
+        buf = block.into_buffer()
+    got = np.concatenate(parts, axis=0)
+    assert np.array_equal(got, want)
+
+
+def test_ogg_large_packet_spanning_pages():
+    # Verbatim subframes make frames large enough to exercise 255-lacing
+    # continuation across pages.
+    pcm = synth_music(70000, channels=2, bps=16, seed=78)
+    flac = encode_flac(pcm, 44100, 16, block_size=32768,
+                       force_subframe="verbatim")
+    ogg = mux_ogg_flac(flac)
+    want = reference_pcm(flac)
+    _si, headers, audio = read_flac_from_ogg(io.BytesIO(ogg))
+    list(headers)
+    parts = []
+    for packet in audio:
+        block = FrameReader(MemReader(packet)).read_next_or_eof()
+        parts.append(np.stack([np.array(block.channel(c))
+                               for c in range(block.channels())], axis=1))
+    assert np.array_equal(np.concatenate(parts, axis=0), want)
+
+
+def test_ogg_crc_detects_corruption():
+    ogg = bytearray(mux_ogg_flac(make_flac(n=2000)))
+    ogg[len(ogg) // 2] ^= 0xFF
+    with pytest.raises(FormatError):
+        for _ in OggPacketReader(io.BytesIO(bytes(ogg))):
+            pass
+
+
+@pytest.mark.parametrize("frames_per_chunk", [1, 3, 4])
+def test_mp4_roundtrip(frames_per_chunk):
+    flac = make_flac()
+    mp4 = mux_mp4_flac(flac, frames_per_chunk=frames_per_chunk)
+    want = reference_pcm(flac)
+
+    track = read_flac_from_mp4(mp4)
+    assert track.streaminfo.sample_rate == 44100
+    assert sum(track.samples_per_chunk) == 9
+
+    parts = []
+    buf = None
+    for offset, n in zip(track.chunk_offsets, track.samples_per_chunk):
+        fr = FrameReader(MemReader(mp4, pos=offset))
+        for _ in range(n):
+            block = fr.read_next_or_eof(buf)
+            parts.append(np.stack([np.array(block.channel(c))
+                                   for c in range(block.channels())], axis=1))
+            buf = block.into_buffer()
+    assert np.array_equal(np.concatenate(parts, axis=0), want)
+
+
+def test_mp4_no_flac_track():
+    with pytest.raises(FormatError):
+        read_flac_from_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from claxon_tpu.ops.i64 import bucket_dot, combine_buckets, sar_low32, dot_sar
 from claxon_tpu.ops.predict import (synthesize, synthesize_reference,
                                     pack_coefficients, ORDER_MAX)
-from claxon_tpu.ops.epilogue import apply_epilogue
+from claxon_tpu.ops.epilogue import (apply_epilogue, pack_int16_pairs,
+                                     unpack_int16_pairs)
 
 
 def wrap32(x):
@@ -161,3 +162,36 @@ def test_epilogue_wasted_and_stereo():
     assert out[5].tolist() == [-5, -33, -59, -125]  # right unchanged
     assert out[6].tolist() == [16, -32, 48, -64]    # wasted-bits shift
     assert out[7].tolist() == [0, 0, 0, 0]          # padding passthrough
+
+
+def test_pack_int16_pairs_roundtrip_and_flag():
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32768, (4, 64)).astype(np.int32)
+    packed, flag = pack_int16_pairs(jnp.asarray(x))
+    assert int(flag) == 0
+    # Little-endian host reinterpret recovers the exact int16 samples.
+    assert np.array_equal(np.asarray(packed).view(np.int16), x)
+    # Device-side unpack inverts the host-side input packing too.
+    assert np.array_equal(np.asarray(unpack_int16_pairs(packed)), x)
+
+    x[2, 7] = 40000  # exceeds int16 -> flag fires
+    _, flag = pack_int16_pairs(jnp.asarray(x))
+    assert int(flag) == 1
+    x[2, 7] = -33000
+    _, flag = pack_int16_pairs(jnp.asarray(x))
+    assert int(flag) == 1
+
+
+def test_device_decode_api():
+    from claxon_tpu.pipeline import decode_streams_device, decode_streams
+    from claxon_tpu.testing import encode_flac, synth_music
+
+    datas = [encode_flac(synth_music(5000, channels=2, bps=16, seed=s),
+                         44100, 16, block_size=1024) for s in (1, 2)]
+    dev = decode_streams_device(datas).block_until_ready()
+    buckets = dev.device_buckets()
+    assert buckets and all(b[2].dtype.name == "int32" for b in buckets)
+    host = dev.to_host()
+    direct = decode_streams(datas)
+    for a, b in zip(host, direct):
+        assert np.array_equal(a.pcm, b.pcm)
