@@ -5,8 +5,8 @@ claxon_tpu.native.build``); falls back cleanly when absent --
 ``available()`` returns False and callers use the Python extractor.
 """
 
-from .binding import (available, extract_stream, extract_frames,
-                      decode_stream_scalar)
+from .binding import (available, extract_stream, extract_stream_raw,
+                      extract_frames, decode_stream_scalar)
 
-__all__ = ["available", "extract_stream", "extract_frames",
-           "decode_stream_scalar"]
+__all__ = ["available", "extract_stream", "extract_stream_raw",
+           "extract_frames", "decode_stream_scalar"]

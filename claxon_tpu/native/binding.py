@@ -20,8 +20,8 @@ from ..io.readers import MemReader
 from ..metadata import MetadataBlockReader
 from .build import ensure_built
 
-__all__ = ["available", "extract_stream", "extract_frames",
-           "decode_stream_scalar"]
+__all__ = ["available", "extract_stream", "extract_stream_raw",
+           "extract_frames", "decode_stream_scalar"]
 
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
@@ -100,12 +100,11 @@ def _read_metadata(data):
     return streaminfo, reader.pos
 
 
-def extract_frames(payload):
-    """Extract FrameDescs from the frame section of a stream (bytes
-    positioned at the first frame). Native counterpart of
-    ``claxon_tpu.extract.extract_frames``."""
-    from ..extract import FrameDesc, SubframeDesc
-
+def extract_frames_raw(payload):
+    """Extract the flat descriptor arrays of a stream's frame section:
+    (frames_buf FRAME_DTYPE, subs_buf SUB_DTYPE, samples int32). The
+    samples array holds each lane's block (warm-up ++ residuals)
+    consecutively, frame-major, channel-minor."""
     lib = _load()
     payload = bytes(payload)
     h = _call(lib.cxt_extract, payload)
@@ -120,6 +119,25 @@ def extract_frames(payload):
                      samples.ctypes.data)
     finally:
         lib.cxt_free(h)
+    return frames_buf, subs_buf, samples
+
+
+def extract_stream_raw(data):
+    """(streaminfo, frames_buf, subs_buf, samples) for a whole stream --
+    the zero-object fast path consumed by ``claxon_tpu.pipeline``."""
+    data = bytes(data)
+    streaminfo, pos = _read_metadata(data)
+    return (streaminfo,) + extract_frames_raw(data[pos:])
+
+
+def extract_frames(payload):
+    """Extract FrameDescs from the frame section of a stream (bytes
+    positioned at the first frame). Native counterpart of
+    ``claxon_tpu.extract.extract_frames``."""
+    from ..extract import FrameDesc, SubframeDesc
+
+    frames_buf, subs_buf, samples = extract_frames_raw(payload)
+    n_frames = len(frames_buf)
 
     frames = []
     lane = 0

@@ -89,6 +89,18 @@ struct Bits {
       : base(data), p(data), end(data + len) {}
 
   inline void refill() {
+    // Fast path: one unaligned 64-bit load + byte swap inserts every
+    // whole byte that fits ((64-n) & ~7 bits) in a single operation.
+    if (__builtin_expect(n <= 56 && end - p >= 8, 1)) {
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      w = __builtin_bswap64(w);
+      int t = (64 - n) & ~7;  // >= 8 since n <= 56
+      acc |= (w & (~0ULL << (64 - t))) >> n;
+      p += t >> 3;
+      n += t;
+      return;
+    }
     while (n <= 56 && p < end) {
       acc |= (uint64_t)(*p++) << (56 - n);
       n += 8;
@@ -305,9 +317,27 @@ void decode_rice_partition(Bits& b, int32_t* buf, int64_t start, int64_t len,
   uint32_t rice_param = b.read(param_bits);
   if (rice_param == (uint32_t)((1 << param_bits) - 1))
     unsupported("unencoded binary is not yet implemented");
+  int k = (int)rice_param;
   for (int64_t i = start; i < start + len; ++i) {
+    // Fast path: after one refill the accumulator holds >= 57 bits, which
+    // covers quotient + terminator + remainder for virtually every sample
+    // (q + 1 + k <= n). One branch per sample instead of two.
+    if (b.n <= 56) b.refill();
+    if (__builtin_expect(b.acc != 0, 1)) {
+      int z = __builtin_clzll(b.acc);
+      // z+1+k < 64 also keeps every shift below 64 (no UB).
+      if (__builtin_expect(z + 1 + k <= b.n && z + 1 + k < 64, 1)) {
+        uint32_t r = k ? (uint32_t)((b.acc << (z + 1)) >> (64 - k)) : 0;
+        b.acc <<= z + 1 + k;
+        b.n -= z + 1 + k;
+        uint32_t v = (((uint32_t)z) << k) | r;
+        buf[i] = (v & 1) ? (int32_t)~(v >> 1) : (int32_t)(v >> 1);
+        continue;
+      }
+    }
+    // Slow path: long quotient run or end-of-buffer straddle.
     uint32_t q = b.read_unary();
-    uint32_t r = b.read((int)rice_param);
+    uint32_t r = b.read(k);
     // u32 wrap like the reference (`src/subframe.rs:340`).
     uint32_t v = (q << rice_param) | r;
     buf[i] = (v & 1) ? (int32_t)~(v >> 1) : (int32_t)(v >> 1);

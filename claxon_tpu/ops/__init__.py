@@ -12,11 +12,15 @@ the FLAC format's serial structure from the chip (SURVEY.md section 7).
 * ``predict``: the unified synthesis kernel. CONSTANT/VERBATIM are order-0,
   FIXED is the Pascal-coefficient recurrence with shift 0, LPC is the
   general order<=32 recurrence -- one kernel, exact for all of them.
-* ``epilogue``: wasted-bits shift + stereo decorrelation (pure elementwise).
+* ``epilogue``: wasted-bits shift + stereo decorrelation (pure elementwise)
+  plus the int16-pair transfer packing.
+* ``crc``: batched CRC-16 for flows where raw frame bytes live on device.
 """
 
 from . import i64
 from .predict import synthesize, synthesize_reference
 from .epilogue import apply_epilogue
+from .crc import crc16_device
 
-__all__ = ["i64", "synthesize", "synthesize_reference", "apply_epilogue"]
+__all__ = ["i64", "synthesize", "synthesize_reference", "apply_epilogue",
+           "crc16_device"]

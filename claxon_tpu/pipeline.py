@@ -49,11 +49,24 @@ def _jnp():
     return jnp
 
 
+# Device-to-host results are fetched as this many independent lane-slice
+# chunks, copied concurrently (copy_to_host_async): on links where a single
+# large transfer is latency- or window-limited, concurrent chunks recover
+# the bandwidth. L is always a multiple of 128, so 16 divides it.
+_FETCH_CHUNKS = 16
+
+
+def _split_lanes(a, n):
+    step = a.shape[0] // n
+    return tuple(a[i * step:(i + 1) * step] for i in range(n))
+
+
 @lru_cache(maxsize=None)
 def _decode_program(in_packed, out_packed):
     """The fused per-bucket device program, compiled once per (shape,
     packing) combination. Input/output int16-pair packing halves the bytes
-    crossing the host link for 16-bit audio (see ops.epilogue)."""
+    crossing the host link for 16-bit audio (see ops.epilogue); the
+    transfer form is pre-split into fetch chunks inside the program."""
     import jax
 
     @jax.jit
@@ -64,8 +77,8 @@ def _decode_program(in_packed, out_packed):
         out = apply_epilogue(out, wasted, pair_modes)
         if out_packed:
             packed, flag = pack_int16_pairs(out)
-            return out, packed, flag
-        return out
+            return out, flag, _split_lanes(packed, _FETCH_CHUNKS)
+        return out, _split_lanes(out, _FETCH_CHUNKS)
 
     return prog
 
@@ -73,8 +86,9 @@ def _decode_program(in_packed, out_packed):
 def device_decode_bucket(x, coefs, shifts, orders, wasted, pair_modes):
     """Run the fused device program on one bucket. All arrays pre-padded;
     lanes pair-aligned (see ops.epilogue lane layout contract)."""
-    return _decode_program(False, False)(x, coefs, shifts, orders, wasted,
-                                         pair_modes)
+    out, _chunks = _decode_program(False, False)(x, coefs, shifts, orders,
+                                                 wasted, pair_modes)
+    return out
 
 
 @dataclass
@@ -166,8 +180,9 @@ class _BucketDispatch:
     frame_idx: List[int]
     n_ch: int
     out_full: object            # (L, T) int32, on device
-    out_packed: object = None   # (L, T//2) int32, on device (16-bit path)
-    flag: object = None         # () int32 overflow flag, on device
+    chunks: tuple               # lane-sliced transfer form, on device
+    packed: bool                # chunks are int16-pair packed
+    flag: object = None         # () int32 overflow flag (packed only)
 
 
 @dataclass
@@ -186,25 +201,59 @@ class DeviceDecoded:
     frames: list
     targets: list
     dispatches: List[_BucketDispatch]
+    _fetch_started: bool = False
+    #: set by the raw fast path: (scatter plans, per-stream pcm arrays)
+    _raw_plans: tuple = None
 
     def block_until_ready(self):
         import jax
         jax.block_until_ready([d.out_full for d in self.dispatches])
         return self
 
+    def start_fetch(self):
+        """Begin the device-to-host copies of every transfer chunk without
+        waiting for them, so they overlap any host work done before
+        ``to_host()`` (e.g. extracting the next batch). Idempotent."""
+        if self._fetch_started:
+            return self
+        self._fetch_started = True
+        for d in self.dispatches:
+            if d.flag is not None:
+                d.flag.copy_to_host_async()
+            for c in d.chunks:
+                c.copy_to_host_async()
+        return self
+
     def device_buckets(self):
         """[(frame_idx, n_ch, (L, T) int32 device array), ...]"""
         return [(d.frame_idx, d.n_ch, d.out_full) for d in self.dispatches]
 
+    @staticmethod
+    def _fetch_bucket(d):
+        if d.packed and int(np.asarray(d.flag)):
+            return np.asarray(d.out_full)  # rare: invalid-stream garbage
+        out = np.concatenate([np.asarray(c) for c in d.chunks])
+        if d.packed:
+            # (L, T//2) int32 -> (L, T) int16, little-endian view.
+            out = out.view(np.int16)
+        return out
+
     def to_host(self):
+        self.start_fetch()
+        if self._raw_plans is not None:
+            plans, pcms = self._raw_plans
+            for d, plan in zip(self.dispatches, plans):
+                out = self._fetch_bucket(d)
+                for rec, lane0 in plan:
+                    _si, bs, n_ch, out_off = rec[0], rec[1], rec[2], rec[6]
+                    pcm = pcms[rec[0]]
+                    for ci in range(n_ch):
+                        pcm[out_off:out_off + bs, ci] = \
+                            out[lane0 + ci, :bs]
+            return self.results
         for d in self.dispatches:
-            if d.out_packed is not None and not int(np.asarray(d.flag)):
-                # Little-endian reinterpret: (L, T//2) int32 -> (L, T) int16.
-                out = np.asarray(d.out_packed).view(np.int16)
-            else:
-                out = np.asarray(d.out_full)
-            scatter_bucket(out, self.frames, d.frame_idx, d.n_ch,
-                           self.targets)
+            scatter_bucket(self._fetch_bucket(d), self.frames, d.frame_idx,
+                           d.n_ch, self.targets)
         return self.results
 
 
@@ -232,9 +281,10 @@ def _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum):
             jnp.asarray(orders), jnp.asarray(wasted),
             jnp.asarray(pair_modes))
     if out_packed:
-        out, packed, flag = prog(*args)
-        return _BucketDispatch(frame_idx, n_ch, out, packed, flag)
-    return _BucketDispatch(frame_idx, n_ch, prog(*args))
+        out, flag, chunks = prog(*args)
+        return _BucketDispatch(frame_idx, n_ch, out, chunks, True, flag)
+    out, chunks = prog(*args)
+    return _BucketDispatch(frame_idx, n_ch, out, chunks, False)
 
 
 def frame_offsets(frames):
@@ -295,20 +345,140 @@ def decode_batches(batches, decode_bucket=None,
     device buckets, so a corpus of short files still fills wide lanes --
     this is the production many-streams-per-chip serving path."""
     if decode_bucket is None:
-        return decode_batches_device(batches, lane_quantum).to_host()
+        # start_fetch() at dispatch time lets the device-to-host copies
+        # overlap the remaining host work (and, in pipelined callers, the
+        # extraction of the next batch).
+        return decode_batches_device(batches,
+                                     lane_quantum).start_fetch().to_host()
     frames, targets, results = _prepare_outputs(batches)
     decode_frames_to(frames, targets, decode_bucket, lane_quantum)
     return results
 
 
+# ---------------------------------------------------------------------------
+# Raw fast path: bucket dispatch straight from the native extractor's flat
+# arrays (claxon_tpu.native.extract_stream_raw), with bulk numpy copies over
+# contiguous lane runs instead of per-frame Python objects.
+
+
+def _t_bucket_of(bs):
+    return _T_BUCKETS[int(np.searchsorted(_T_BUCKETS, bs))]
+
+
+def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
+    """Decode [(streaminfo, frames_buf, subs_buf, samples), ...] into a
+    DeviceDecoded. Semantically identical to extracting FrameDescs and
+    calling decode_batches_device; this path never materializes per-frame
+    Python objects and copies samples in contiguous runs."""
+    results, targets_meta = [], []   # targets_meta: per stream (pcm,)
+    # Per-frame flat records: (stream, bs, nch, mode, sub0, samp0, out_off)
+    recs = []
+    groups = {}
+    for si_idx, (si, frames_buf, subs_buf, samples) in enumerate(raws):
+        bs_v = frames_buf["block_size"].astype(np.int64)
+        nch_v = frames_buf["channels"].astype(np.int64)
+        sub0_v = np.concatenate([[0], np.cumsum(nch_v)[:-1]])
+        samp0_v = np.concatenate([[0], np.cumsum(bs_v * nch_v)[:-1]])
+        out0_v = np.concatenate([[0], np.cumsum(bs_v)[:-1]])
+        total = int(bs_v.sum())
+        pcm = np.empty((total, si.channels), dtype=np.int32)
+        results.append(DecodedStream(
+            streaminfo=si, pcm=pcm,
+            frame_times=frames_buf["time"].tolist(),
+            frame_sizes=frames_buf["block_size"].tolist()))
+        targets_meta.append(pcm)
+        for i in range(len(frames_buf)):
+            rec = (si_idx, int(bs_v[i]), int(nch_v[i]),
+                   int(frames_buf["mode"][i]), int(sub0_v[i]),
+                   int(samp0_v[i]), int(out0_v[i]),
+                   int(frames_buf["bps"][i]))
+            key = (_t_bucket_of(bs_v[i]), rec[2])
+            groups.setdefault(key, []).append(rec)
+
+    dispatches = []
+    scatter_plans = []  # parallel to dispatches: list of (rec, lane0)
+    jnp = _jnp()
+    for (t_bucket, n_ch), rlist in groups.items():
+        n_lanes = len(rlist) * n_ch
+        L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
+        x = np.zeros((L, T), dtype=np.int32)
+        coefs = np.zeros((L, ORDER_MAX), dtype=np.int32)
+        shifts = np.zeros(L, dtype=np.int32)
+        orders = np.zeros(L, dtype=np.int32)
+        wasted = np.zeros(L, dtype=np.int32)
+        pair_modes = np.zeros(L // 2, dtype=np.int32)
+
+        # Contiguous runs: consecutive frames of one stream with one block
+        # size have contiguous sample/subframe spans in the flat arrays.
+        lane = 0
+        plan = []
+        i = 0
+        while i < len(rlist):
+            j = i
+            si_idx, bs = rlist[i][0], rlist[i][1]
+            while (j + 1 < len(rlist) and rlist[j + 1][0] == si_idx
+                   and rlist[j + 1][1] == bs
+                   and rlist[j + 1][4] == rlist[j][4] + n_ch):
+                j += 1
+            run = rlist[i:j + 1]
+            nl = len(run) * n_ch
+            _si, frames_buf, subs_buf, samples = raws[si_idx]
+            s0 = run[0][4]
+            p0 = run[0][5]
+            x[lane:lane + nl, :bs] = \
+                samples[p0:p0 + nl * bs].reshape(nl, bs)
+            coefs[lane:lane + nl] = subs_buf["coefs"][s0:s0 + nl]
+            shifts[lane:lane + nl] = subs_buf["shift"][s0:s0 + nl]
+            orders[lane:lane + nl] = subs_buf["order"][s0:s0 + nl]
+            wasted[lane:lane + nl] = subs_buf["wasted"][s0:s0 + nl]
+            if n_ch == 2:
+                pair_modes[lane // 2:lane // 2 + len(run)] = \
+                    [r[3] for r in run]
+            for r in run:
+                plan.append((r, lane))
+                lane += n_ch
+            i = j + 1
+
+        in_packed = (T % 2 == 0 and
+                     x.min(initial=0) >= -32768 and
+                     x.max(initial=0) <= 32767)
+        if in_packed:
+            x16 = x.reshape(L, T // 2, 2).astype(np.int16)
+            x = np.ascontiguousarray(x16).view(np.int32).reshape(L, T // 2)
+        out_packed = (T % 2 == 0 and all(r[7] <= 16 for r in rlist))
+
+        prog = _decode_program(in_packed, out_packed)
+        args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
+                jnp.asarray(orders), jnp.asarray(wasted),
+                jnp.asarray(pair_modes))
+        if out_packed:
+            out, flag, chunks = prog(*args)
+            dispatches.append(
+                _BucketDispatch([], n_ch, out, chunks, True, flag))
+        else:
+            out, chunks = prog(*args)
+            dispatches.append(_BucketDispatch([], n_ch, out, chunks, False))
+        scatter_plans.append(plan)
+
+    dd = DeviceDecoded(results, [], [], dispatches)
+    # Bind a raw-plan scatter: overrides the FrameDesc-based one.
+    dd._raw_plans = (scatter_plans, targets_meta)
+    return dd
+
+
+def _native_mod():
+    try:
+        from . import native
+        return native if native.available() else None
+    except ImportError:
+        return None
+
+
 def _extract(data, use_native):
     if use_native:
-        try:
-            from . import native
-            if native.available():
-                return native.extract_stream(data)
-        except ImportError:
-            pass
+        native = _native_mod()
+        if native is not None:
+            return native.extract_stream(data)
     return extract_stream(data)
 
 
@@ -318,12 +488,15 @@ def decode_stream(data, use_native=True) -> DecodedStream:
     ``use_native`` selects the C++ demux core when built; the Python
     extractor is the fallback (bit-identical, slower).
     """
-    return decode_batch(_extract(data, use_native))
+    return decode_streams([data], use_native)[0]
 
 
 def decode_streams(datas, use_native=True, decode_bucket=None,
                    lane_quantum=_L_QUANTUM) -> List[DecodedStream]:
     """Decode many FLAC streams in one batched device dispatch."""
+    if decode_bucket is None:
+        return decode_streams_device(
+            datas, use_native, lane_quantum).start_fetch().to_host()
     return decode_batches([_extract(d, use_native) for d in datas],
                           decode_bucket, lane_quantum)
 
@@ -332,5 +505,10 @@ def decode_streams_device(datas, use_native=True,
                           lane_quantum=_L_QUANTUM) -> DeviceDecoded:
     """Decode many FLAC streams into device-resident PCM buckets -- the
     zero-host-round-trip path for feeding TPU consumers directly."""
+    if use_native:
+        native = _native_mod()
+        if native is not None:
+            raws = [native.extract_stream_raw(d) for d in datas]
+            return decode_raw_batches_device(raws, lane_quantum)
     return decode_batches_device([_extract(d, use_native) for d in datas],
                                  lane_quantum)

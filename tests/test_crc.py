@@ -63,3 +63,40 @@ def test_crc16_combine_matrices():
     for k in range(6):
         shifted = crc16(data + b"\x00" * (1 << k))
         assert apply(mats[k], crc16(data)) == shifted
+
+
+def test_crc16_device_matches_host():
+    import numpy as np
+    import jax.numpy as jnp
+    from claxon_tpu.crc import crc16
+    from claxon_tpu.ops.crc import crc16_device
+
+    rng = np.random.default_rng(12)
+    L, B = 8, 300
+    data = rng.integers(0, 256, (L, B)).astype(np.int32)
+    lengths = rng.integers(0, B + 1, L).astype(np.int32)
+    got = np.asarray(crc16_device(jnp.asarray(data), jnp.asarray(lengths)))
+    for l in range(L):
+        want = crc16(bytes(data[l, :lengths[l]].astype(np.uint8)))
+        assert int(got[l]) == want, l
+
+
+def test_crc16_combine_matrices_compose():
+    import numpy as np
+    from claxon_tpu.crc import crc16, crc16_combine_matrices
+
+    mats = crc16_combine_matrices(8)
+
+    def shift(state, log2_nbytes):
+        row = mats[log2_nbytes]
+        out = 0
+        for i in range(16):
+            if state & (1 << i):
+                out ^= int(row[i])
+        return out
+
+    rng = np.random.default_rng(13)
+    a = bytes(rng.integers(0, 256, 37).astype(np.uint8))
+    b = bytes(rng.integers(0, 256, 16).astype(np.uint8))
+    # crc(a ++ b) = shift(crc(a), len(b)) ^ crc(b)  with len(b) = 2^4.
+    assert crc16(a + b) == shift(crc16(a), 4) ^ crc16(b)

@@ -71,3 +71,33 @@ def test_pipeline_mixed_block_sizes():
     # frame number (`src/frame.rs:771-773`), so the short last frame gets
     # 1808 * 2, not 8192. We mirror the reference exactly.
     assert dec.frame_times == [0, 4096, 3616]
+
+
+def test_raw_path_matches_object_path():
+    """The native raw-array fast path must be bit-identical to the
+    FrameDesc object path on every stream class."""
+    from claxon_tpu import native
+    if not native.available():
+        pytest.skip("C++ core not built")
+    from claxon_tpu.extract import extract_stream
+    from claxon_tpu.pipeline import (decode_batches_device,
+                                     decode_raw_batches_device)
+
+    cases = [
+        encode_flac(synth_music(9000, channels=2, bps=16, seed=61),
+                    44100, 16, block_size=1024),
+        encode_flac(synth_music(5000, channels=2, bps=24, seed=62),
+                    96000, 24, block_size=2048),
+        encode_flac(synth_music(3000, channels=5, bps=16, seed=63),
+                    48000, 16, block_size=512),
+        encode_flac(synth_music(7000, channels=2, bps=16, seed=64),
+                    44100, 16, block_size=4096),  # short tail frame
+    ]
+    raws = [native.extract_stream_raw(d) for d in cases]
+    via_raw = decode_raw_batches_device(raws).to_host()
+    via_obj = decode_batches_device(
+        [extract_stream(d) for d in cases]).to_host()
+    for a, b in zip(via_raw, via_obj):
+        assert np.array_equal(a.pcm, b.pcm)
+        assert a.frame_times == b.frame_times
+        assert a.frame_sizes == b.frame_sizes
