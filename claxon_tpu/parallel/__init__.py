@@ -19,7 +19,7 @@ in/out shardings; ``decode_batch_sharded`` is the host-side driver mirroring
 """
 
 from .mesh import (make_mesh, make_decode_step, decode_batch_sharded,
-                   lane_quantum, LANE_AXIS)
+                   decode_streams_sharded, lane_quantum, LANE_AXIS)
 
 __all__ = ["make_mesh", "make_decode_step", "decode_batch_sharded",
-           "lane_quantum", "LANE_AXIS"]
+           "decode_streams_sharded", "lane_quantum", "LANE_AXIS"]

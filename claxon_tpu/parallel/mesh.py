@@ -79,3 +79,17 @@ def decode_batch_sharded(batch, mesh=None):
     step = make_decode_step(mesh)
     return _decode_batch(batch, decode_bucket=step,
                          lane_quantum=lane_quantum(mesh))
+
+
+def decode_streams_sharded(datas, mesh=None, use_native=True):
+    """Decode many FLAC streams with frames sharded across all chips --
+    the multi-chip corpus-decode entry point (pure data parallelism; see
+    the package docstring)."""
+    from ..pipeline import decode_batches, _extract
+
+    if mesh is None:
+        mesh = make_mesh()
+    step = make_decode_step(mesh)
+    return decode_batches([_extract(d, use_native) for d in datas],
+                          decode_bucket=step,
+                          lane_quantum=lane_quantum(mesh))

