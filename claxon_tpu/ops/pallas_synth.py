@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for batched prediction synthesis.
+
+Alternative backend to ``ops.predict.synthesize`` (same semantics, same
+exactness argument -- see docs/exact_integer_kernels.md). The layout is
+time-major so the sequential time axis walks the sublane dimension while
+all lanes ride the 128-wide vector dimension:
+
+* grid over time chunks (sequential on the TPU core; VMEM scratch carries
+  the 32-sample recurrence history between chunks);
+* per chunk, a ``fori_loop`` computes one output row per step from the
+  previous 32 rows held in a rolling VMEM window -- the four limb-bucket
+  dot products, the (hi, lo) recombination and the arithmetic shift are
+  the same 32-bit ops as the XLA path.
+
+Measured on a real chip the XLA `lax.scan` path and this kernel are both
+far from being the pipeline bottleneck (sub-millisecond per ~7M-sample
+bucket); the XLA path stays the default. This kernel exists as the
+hand-scheduled reference point and for shapes where scan overhead ever
+matters. ``interpret=True`` (automatic off-TPU) makes it testable on CPU.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .predict import ORDER_MAX
+
+__all__ = ["synthesize_pallas"]
+
+
+_GROUP = 8  # output rows stored per aligned vector store
+
+
+def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, out_ref, hist, CT, T):
+    g = pl.program_id(1)  # time chunk (inner, sequential)
+
+    @pl.when(g == 0)
+    def _init():
+        hist[:] = jnp.zeros_like(hist[:])
+
+    coefs = coefs_ref[:]          # (32, L) int32, row 31 = newest tap
+    c_lo = coefs & 0xFF           # unsigned 8-bit limb
+    c_hi = coefs >> 8             # signed 8-bit limb
+    shifts = shifts_ref[0, :]     # (L,)
+    orders = orders_ref[0, :]
+    s1 = jnp.maximum(shifts, 1)
+
+    def one(t, state, xt):
+        """One recurrence step from the (32, L) state register."""
+        s_lo = state & 0xFFFF
+        s_hi = state >> 16
+        b0 = jnp.sum(c_lo * s_lo, axis=0)
+        b1 = jnp.sum(c_hi * s_lo, axis=0)
+        b2 = jnp.sum(c_lo * s_hi, axis=0)
+        b3 = jnp.sum(c_hi * s_hi, axis=0)
+        # Recombine B0 + B1*2^8 + B2*2^16 + B3*2^24 into (hi, lo) and
+        # arithmetic-shift; uint32 values live in int32 lanes.
+        u = lambda v: v.astype(jnp.uint32)
+        i = lambda v: v.astype(jnp.int32)
+        hi, lo = b0 >> 31, b0
+        for b, k in ((b1, 8), (b2, 16), (b3, 24)):
+            bl = b << k
+            bh = ((b >> 31) << k) | i(u(b) >> (32 - k))
+            nlo = i(u(lo) + u(bl))
+            carry = i(u(nlo) < u(lo))
+            hi, lo = hi + bh + carry, nlo
+        shifted = i(u(lo) >> u(s1)) | (hi << (32 - s1))
+        pred = jnp.where(shifts == 0, lo, shifted)
+        val = jnp.where(t >= orders, xt + pred, xt)
+        return jnp.concatenate([state[1:], val[None]], axis=0), val
+
+    def group(j, state):
+        """GROUP steps; one aligned (GROUP, L) load and store."""
+        xs = x_ref[pl.ds(j * _GROUP, _GROUP), :]
+        rows = []
+        for r in range(_GROUP):
+            state, val = one(g * CT + j * _GROUP + r, state, xs[r, :])
+            rows.append(val)
+        out_ref[pl.ds(j * _GROUP, _GROUP), :] = jnp.stack(rows, axis=0)
+        return state
+
+    state = jax.lax.fori_loop(0, CT // _GROUP, group, hist[:])
+    hist[:] = state  # carry the last 32 outputs into the next chunk
+
+
+@partial(jax.jit, static_argnames=("chunk", "lane_block"))
+def synthesize_pallas(x, coefs, shifts, orders, chunk=256, lane_block=4096):
+    """Drop-in equivalent of ``ops.predict.synthesize`` (same argument
+    convention: x (L, T), coefs (L, 32) left-padded, shifts/orders (L,)).
+
+    Grid: (lane blocks) x (time chunks); time is the inner, sequential
+    dimension, so the history scratch carries the recurrence across time
+    chunks and resets when a new lane block starts.
+    """
+    L, T = x.shape
+    lpad = (-L) % 128
+    if lpad:
+        x = jnp.pad(x, ((0, lpad), (0, 0)))
+        coefs = jnp.pad(coefs, ((0, lpad), (0, 0)))
+        shifts = jnp.pad(shifts, (0, lpad))
+        orders = jnp.pad(orders, (0, lpad))
+    Lp = L + lpad
+    BL = min(lane_block, Lp)
+    while Lp % BL:
+        BL -= 128
+
+    CT = min(chunk, max(_GROUP, ((T + _GROUP - 1) // _GROUP) * _GROUP))
+    pad = (-T) % CT
+    xt = jnp.pad(x, ((0, 0), (0, pad))).T      # (Tp, Lp) time-major
+    Tp = T + pad
+
+    out = pl.pallas_call(
+        partial(_kernel, CT=CT, T=Tp),
+        grid=(Lp // BL, Tp // CT),
+        in_specs=[
+            pl.BlockSpec((CT, BL), lambda lb, g: (g, lb)),          # x
+            pl.BlockSpec((ORDER_MAX, BL), lambda lb, g: (0, lb)),   # coefs.T
+            pl.BlockSpec((1, BL), lambda lb, g: (0, lb)),           # shifts
+            pl.BlockSpec((1, BL), lambda lb, g: (0, lb)),           # orders
+        ],
+        out_specs=pl.BlockSpec((CT, BL), lambda lb, g: (g, lb)),
+        out_shape=jax.ShapeDtypeStruct((Tp, Lp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ORDER_MAX, BL), jnp.int32)],
+        interpret=jax.devices()[0].platform != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(xt, coefs.T, shifts[None, :], orders[None, :])
+    return out.T[:L, :T]

@@ -30,7 +30,8 @@ from functools import partial
 
 from .i64 import bucket_dot, combine_buckets, sar_low32
 
-__all__ = ["synthesize", "synthesize_reference", "pack_coefficients"]
+__all__ = ["synthesize", "synthesize_best", "synthesize_reference",
+           "pack_coefficients"]
 
 ORDER_MAX = 32
 
@@ -76,6 +77,19 @@ def synthesize(x, coefs, shifts, orders, unroll=4):
     ts = jnp.arange(T, dtype=jnp.int32)
     _, out = jax.lax.scan(step, state0, (x.T, ts), unroll=unroll)
     return out.T
+
+
+def synthesize_best(x, coefs, shifts, orders):
+    """Synthesize with the fastest backend for the current platform:
+    the hand-scheduled Pallas kernel on TPU (~1.7x the XLA scan, measured
+    on v5e; see ops/pallas_synth.py), the XLA scan elsewhere. Both are
+    bit-exact; CLAXON_TPU_NO_PALLAS=1 forces the XLA path."""
+    import os
+    if (jax.devices()[0].platform == "tpu"
+            and not os.environ.get("CLAXON_TPU_NO_PALLAS")):
+        from .pallas_synth import synthesize_pallas
+        return synthesize_pallas(x, coefs, shifts, orders)
+    return synthesize(x, coefs, shifts, orders)
 
 
 def synthesize_reference(x, coefs, shifts, orders):

@@ -69,11 +69,13 @@ def _decode_program(in_packed, out_packed):
     transfer form is pre-split into fetch chunks inside the program."""
     import jax
 
+    from .ops.predict import synthesize_best
+
     @jax.jit
     def prog(x, coefs, shifts, orders, wasted, pair_modes):
         if in_packed:
             x = unpack_int16_pairs(x)
-        out = synthesize(x, coefs, shifts, orders)
+        out = synthesize_best(x, coefs, shifts, orders)
         out = apply_epilogue(out, wasted, pair_modes)
         if out_packed:
             packed, flag = pack_int16_pairs(out)

@@ -195,3 +195,39 @@ def test_device_decode_api():
     direct = decode_streams(datas)
     for a, b in zip(host, direct):
         assert np.array_equal(a.pcm, b.pcm)
+
+
+def test_pallas_synthesize_matches_xla():
+    from claxon_tpu.ops.pallas_synth import synthesize_pallas
+
+    rng = np.random.default_rng(17)
+    L, T = 160, 300  # unaligned lane count and time length
+    x = rng.integers(-(1 << 15), 1 << 15, (L, T)).astype(np.int32)
+    orders = rng.integers(0, ORDER_MAX + 1, L).astype(np.int32)
+    shifts = np.where(orders > 0, rng.integers(0, 16, L), 0).astype(np.int32)
+    coefs = np.zeros((L, ORDER_MAX), dtype=np.int32)
+    for l in range(L):
+        o = orders[l]
+        if o:
+            coefs[l, ORDER_MAX - o:] = rng.integers(-(1 << 14), 1 << 14, o)
+    a = np.asarray(synthesize(jnp.asarray(x), jnp.asarray(coefs),
+                              jnp.asarray(shifts), jnp.asarray(orders)))
+    b = np.asarray(synthesize_pallas(jnp.asarray(x), jnp.asarray(coefs),
+                                     jnp.asarray(shifts),
+                                     jnp.asarray(orders), chunk=64))
+    assert np.array_equal(a, b)
+
+
+def test_pallas_synthesize_golden():
+    from claxon_tpu.ops.pallas_synth import synthesize_pallas
+
+    coefs = [-75, 166, 121, -269, -75, -399, 1042]
+    x = [-796, -547, -285, -32, 199, 443, 670, -2,
+         -23, 14, 6, 3, -4, 12, -2, 10]
+    xs = jnp.asarray(np.asarray(x, dtype=np.int32)[None, :])
+    cs = jnp.asarray(pack_coefficients([coefs]))
+    out = synthesize_pallas(xs, cs, jnp.asarray([9], dtype=jnp.int32),
+                            jnp.asarray([len(coefs)], dtype=jnp.int32))
+    assert np.asarray(out)[0].tolist() == \
+        [-796, -547, -285, -32, 199, 443, 670, 875,
+         1046, 1208, 1343, 1454, 1541, 1616, 1663, 1701]
