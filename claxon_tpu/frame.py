@@ -12,7 +12,7 @@ decoding goes through ``claxon_tpu.native`` (C++ demux) feeding
 import numpy as np
 
 from . import subframe
-from .error import Error, FormatError, Unsupported, fmt_err
+from .error import Error, FormatError, IoError, Unsupported, fmt_err
 from .io.readers import Crc8Reader, Crc16Reader
 from .io.bits import Bitstream
 
@@ -320,15 +320,85 @@ def ensure_buffer_len(buffer, new_len):
 
 class FrameReader:
     """Reads and decodes frames from a byte reader
-    (reference `src/frame.rs:599-785`)."""
+    (reference `src/frame.rs:599-785`).
 
-    def __init__(self, input):
+    When the C++ core is built and the input is one of this package's
+    in-memory or buffered readers, frames decode through the native
+    single-frame entry (same CRC checks, same errors, bit-exact) at native
+    speed; any other reader, or ``use_native=False``, uses the
+    reference-fidelity Python path.
+    """
+
+    def __init__(self, input, use_native=None):
         self.input = input
+        if use_native is None:
+            import os
+            use_native = not os.environ.get("CLAXON_TPU_NO_NATIVE_READER")
+        self._use_native = use_native
+
+    def _native_mod(self):
+        if not self._use_native:
+            return None
+        try:
+            from . import native
+            return native if native.available() else None
+        except ImportError:
+            return None
+
+    def _read_next_native(self, buffer, native):
+        """Decode one frame via the C++ core, windowing buffered inputs."""
+        from .io.readers import BufferedReader, MemReader
+
+        if isinstance(self.input, MemReader):
+            inp = self.input
+            window = memoryview(inp._data)[inp.pos:]
+            consumed, fbuf, pcm = native.decode_frames_limited(window, 1)
+            inp.pos += consumed
+        else:
+            # BufferedReader: grow its window until one frame fits. The
+            # window lives on the reader so a second FrameReader/samples()
+            # call continues exactly where the first stopped.
+            window = self.input.native_window
+            while True:
+                try:
+                    consumed, fbuf, pcm = native.decode_frames_limited(
+                        bytes(window), 1)
+                except IoError:
+                    chunk = self.input.read_up_to(65536)
+                    if not chunk:
+                        raise  # genuine mid-frame end of stream
+                    window += chunk
+                    continue
+                if len(fbuf) == 0:
+                    # Window ends at a frame boundary; clean EOF only if
+                    # the stream really is exhausted.
+                    chunk = self.input.read_up_to(65536)
+                    if not chunk:
+                        return None
+                    window += chunk
+                    continue
+                break
+            del window[:consumed]
+
+        if len(fbuf) == 0:
+            return None
+        bs = int(fbuf["block_size"][0])
+        nch = int(fbuf["channels"][0])
+        buffer = ensure_buffer_len(buffer, bs * nch)
+        # Native pcm is interleaved; Block stores channels consecutively.
+        np.copyto(buffer[:bs * nch].reshape(nch, bs),
+                  pcm.reshape(bs, nch).T)
+        return Block(int(fbuf["time"][0]), bs, buffer)
 
     def read_next_or_eof(self, buffer=None):
         """Decode the next frame into ``buffer``; returns a ``Block`` or
         None at a clean EOF. The buffer is moved into the block; retrieve it
         with ``block.into_buffer()`` (reference `src/frame.rs:667-779`)."""
+        native = self._native_mod()
+        if native is not None:
+            from .io.readers import BufferedReader, MemReader
+            if isinstance(self.input, (MemReader, BufferedReader)):
+                return self._read_next_native(buffer, native)
         crc_input = Crc16Reader(self.input)
         header = read_frame_header_or_eof(crc_input)
         if header is None:

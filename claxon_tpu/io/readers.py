@@ -81,13 +81,26 @@ class BufferedReader(_ReadBytesBase):
     Here buffering mainly amortizes Python call overhead into the stream.
     """
 
-    __slots__ = ("_stream", "_buf", "_pos", "_size")
+    __slots__ = ("_stream", "_buf", "_pos", "_size", "native_window")
 
     def __init__(self, stream, buffer_size=8192):
         self._stream = stream
         self._size = buffer_size
         self._buf = b""
         self._pos = 0
+        #: lookahead window of the native FrameReader fast path (bytes
+        #: pulled from the stream but not yet decoded); kept on the reader
+        #: so stacked FrameReaders continue frame-aligned.
+        self.native_window = bytearray()
+
+    def read_up_to(self, n):
+        """Up to ``n`` raw bytes for the native fast path: drains the
+        internal buffer first, then reads the stream once. b'' at EOF."""
+        if self._pos < len(self._buf):
+            chunk = self._buf[self._pos:]
+            self._pos = len(self._buf)
+            return chunk
+        return self._stream.read(n) or b""
 
     def _refill(self):
         self._buf = self._stream.read(self._size)

@@ -6,7 +6,9 @@ claxon_tpu.native.build``); falls back cleanly when absent --
 """
 
 from .binding import (available, extract_stream, extract_stream_raw,
-                      extract_frames, decode_stream_scalar)
+                      extract_frames, decode_frames_limited,
+                      decode_stream_scalar)
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
-           "extract_frames", "decode_stream_scalar"]
+           "extract_frames", "decode_frames_limited",
+           "decode_stream_scalar"]

@@ -49,6 +49,12 @@ def _load():
                                 ctypes.c_char_p, ctypes.c_uint64]
     lib.cxt_decode.restype = ctypes.c_void_p
     lib.cxt_decode.argtypes = lib.cxt_extract.argtypes
+    lib.cxt_decode_limited.restype = ctypes.c_void_p
+    lib.cxt_decode_limited.argtypes = [u8p, ctypes.c_uint64,
+                                       ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint64),
+                                       ctypes.POINTER(ctypes.c_int32),
+                                       ctypes.c_char_p, ctypes.c_uint64]
     for name in ("cxt_n_frames", "cxt_n_subframes", "cxt_n_lane_samples",
                  "cxt_pcm_len"):
         fn = getattr(lib, name)
@@ -174,6 +180,39 @@ def extract_stream(data):
     streaminfo, pos = _read_metadata(data)
     return StreamBatch(streaminfo=streaminfo,
                        frames=extract_frames(data[pos:]))
+
+
+def decode_frames_limited(payload, max_frames=1):
+    """Decode up to ``max_frames`` frames from ``payload`` (bytes-like,
+    positioned at a frame boundary) fully on the host.
+
+    Returns (consumed_bytes, frames_buf FRAME_DTYPE, pcm int32) where pcm
+    is interleaved (sum(block_size), channels-of-each-frame) row-major in
+    frame order. ``consumed_bytes`` counts only fully decoded frames, so a
+    streaming caller can retry with a larger window after an ``IoError``
+    (the mid-frame EOF signal). The FrameReader fast path.
+    """
+    lib = _load()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    err = ctypes.c_int32(0)
+    consumed = ctypes.c_uint64(0)
+    msg = ctypes.create_string_buffer(256)
+    h = lib.cxt_decode_limited(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        max_frames, ctypes.byref(consumed), ctypes.byref(err), msg, 256)
+    if not h:
+        raise _ERRORS.get(err.value, RuntimeError)(
+            msg.value.decode("utf-8", "replace"))
+    try:
+        n_frames = lib.cxt_n_frames(h)
+        frames_buf = np.empty(n_frames, dtype=FRAME_DTYPE)
+        lib.cxt_fill(h, frames_buf.ctypes.data, None, None)
+        n = lib.cxt_pcm_len(h)
+        pcm = np.empty(n, dtype=np.int32)
+        lib.cxt_pcm_fill(h, pcm.ctypes.data)
+    finally:
+        lib.cxt_free(h)
+    return int(consumed.value), frames_buf, pcm
 
 
 def decode_stream_scalar(data):

@@ -509,10 +509,11 @@ inline int channel_bps(int mode, int ch, int bps) {
 }
 
 void walk_stream(const uint8_t* data, size_t len, bool full_decode,
-                 Handle& h) {
+                 Handle& h, int64_t max_frames = -1,
+                 size_t* consumed = nullptr) {
   Bits b(data, len);
   std::vector<int32_t> scratch;
-  while (true) {
+  while (max_frames < 0 || (int64_t)h.frames.size() < max_frames) {
     size_t frame_start = b.bytepos();
     Header hdr;
     if (!read_frame_header(b, hdr)) break;
@@ -583,14 +584,16 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
       }
       h.subs.resize(sub0);  // decode mode keeps only frames + pcm
     }
+    if (consumed) *consumed = b.bytepos();
   }
 }
 
 Handle* run(const uint8_t* data, uint64_t len, bool full_decode,
-            int32_t* err_code, char* err_msg, uint64_t msg_cap) {
+            int32_t* err_code, char* err_msg, uint64_t msg_cap,
+            int64_t max_frames = -1, size_t* consumed = nullptr) {
   Handle* h = new Handle();
   try {
-    walk_stream(data, (size_t)len, full_decode, *h);
+    walk_stream(data, (size_t)len, full_decode, *h, max_frames, consumed);
     *err_code = 0;
     return h;
   } catch (const Err& e) {
@@ -627,6 +630,19 @@ void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
 void* cxt_decode(const uint8_t* data, uint64_t len, int32_t* err_code,
                  char* err_msg, uint64_t msg_cap) {
   return run(data, len, /*full_decode=*/true, err_code, err_msg, msg_cap);
+}
+
+// Decode at most max_frames frames; *consumed reports the bytes consumed
+// by the successfully decoded frames (the streaming FrameReader entry).
+void* cxt_decode_limited(const uint8_t* data, uint64_t len,
+                         int64_t max_frames, uint64_t* consumed,
+                         int32_t* err_code, char* err_msg,
+                         uint64_t msg_cap) {
+  size_t used = 0;
+  Handle* h = run(data, len, /*full_decode=*/true, err_code, err_msg,
+                  msg_cap, max_frames, &used);
+  *consumed = used;
+  return h;
 }
 
 uint64_t cxt_n_frames(void* h) { return ((Handle*)h)->frames.size(); }
