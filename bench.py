@@ -129,6 +129,19 @@ def main():
     dev_elapsed = time.perf_counter() - t0
     dev_msamples_s = total_samples * dev_reps / dev_elapsed / 1e6
 
+    # Host scalar decode (FlacReader.blocks(), the claxon-equivalent
+    # CPU-to-CPU path) for context.
+    from claxon_tpu import FlacReader
+    t0 = time.perf_counter()
+    n = 0
+    for data in datas:
+        fr = FlacReader(data).blocks()
+        buf = None
+        while (b := fr.read_next_or_eof(buf)) is not None:
+            n += b.len()
+            buf = b.into_buffer()
+    scalar_msamples_s = n / (time.perf_counter() - t0) / 1e6
+
     print(json.dumps({
         "metric": "decode_throughput_per_chip",
         "value": round(msamples_s, 3),
@@ -137,6 +150,7 @@ def main():
         "to_device_msamples_s": round(dev_msamples_s, 3),
         "to_device_vs_baseline": round(dev_msamples_s / BASELINE_MSAMPLES_S,
                                        3),
+        "host_scalar_msamples_s": round(scalar_msamples_s, 3),
         "native_demux": native.available(),
         "streams": len(datas),
         "reps": reps,

@@ -463,10 +463,40 @@ void parse_subframe(Bits& b, int bps, int64_t block_size, int32_t* buf,
 // Host prediction + epilogue (decode mode; the reference's hot loops,
 // `src/subframe.rs:417-474,524-614`, `src/frame.rs:318-399`).
 
+// Fixed-order instantiations let the compiler fully unroll and vectorize
+// the inner product (the reference specializes low orders the same way,
+// zero-padding to a fixed width 12, `src/subframe.rs:524-583`).
+template <int ORDER>
+void predict_order(const int32_t* c, int32_t shift, int32_t* buf,
+                   int64_t block_size) {
+  for (int64_t i = ORDER; i < block_size; ++i) {
+    int64_t acc = 0;
+    for (int k = 0; k < ORDER; ++k)
+      acc += (int64_t)c[k] * (int64_t)buf[i - ORDER + k];
+    int64_t pred = acc >> shift;
+    buf[i] = (int32_t)(uint32_t)((uint64_t)pred + (uint32_t)buf[i]);
+  }
+}
+
 void predict_in_place(const SubDesc& d, int32_t* buf, int64_t block_size) {
   int order = d.order;
   if (order == 0) return;
   const int32_t* c = d.coefs + 32 - order;
+  switch (order) {
+    case 1: return predict_order<1>(c, d.shift, buf, block_size);
+    case 2: return predict_order<2>(c, d.shift, buf, block_size);
+    case 3: return predict_order<3>(c, d.shift, buf, block_size);
+    case 4: return predict_order<4>(c, d.shift, buf, block_size);
+    case 5: return predict_order<5>(c, d.shift, buf, block_size);
+    case 6: return predict_order<6>(c, d.shift, buf, block_size);
+    case 7: return predict_order<7>(c, d.shift, buf, block_size);
+    case 8: return predict_order<8>(c, d.shift, buf, block_size);
+    case 9: return predict_order<9>(c, d.shift, buf, block_size);
+    case 10: return predict_order<10>(c, d.shift, buf, block_size);
+    case 11: return predict_order<11>(c, d.shift, buf, block_size);
+    case 12: return predict_order<12>(c, d.shift, buf, block_size);
+    default: break;
+  }
   for (int64_t i = order; i < block_size; ++i) {
     int64_t acc = 0;
     for (int k = 0; k < order; ++k)
