@@ -130,16 +130,24 @@ def main():
     dev_msamples_s = total_samples * dev_reps / dev_elapsed / 1e6
 
     # Host scalar decode (FlacReader.blocks(), the claxon-equivalent
-    # CPU-to-CPU path) for context.
+    # CPU-to-CPU path) for context. Time-capped like every other phase:
+    # without the native core this path is pure Python and must not run
+    # for minutes.
     from claxon_tpu import FlacReader
     t0 = time.perf_counter()
     n = 0
-    for data in datas:
-        fr = FlacReader(data).blocks()
-        buf = None
-        while (b := fr.read_next_or_eof(buf)) is not None:
-            n += b.len()
-            buf = b.into_buffer()
+    deadline = t0 + MIN_TIMED_SECONDS / 2
+    while time.perf_counter() < deadline:
+        for data in datas:
+            fr = FlacReader(data).blocks()
+            buf = None
+            while (b := fr.read_next_or_eof(buf)) is not None:
+                n += b.len()
+                buf = b.into_buffer()
+                if time.perf_counter() > deadline:
+                    break
+            if time.perf_counter() > deadline:
+                break
     scalar_msamples_s = n / (time.perf_counter() - t0) / 1e6
 
     print(json.dumps({

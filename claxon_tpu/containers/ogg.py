@@ -62,8 +62,21 @@ class OggPacketReader:
     def __iter__(self):
         return self
 
+    def _read_exact(self, n):
+        """Read exactly n bytes; file-like objects may legally return
+        short reads before EOF, so loop. b'' only at immediate EOF."""
+        parts = []
+        got = 0
+        while got < n:
+            chunk = self._stream.read(n - got)
+            if not chunk:
+                break
+            parts.append(chunk)
+            got += len(chunk)
+        return b"".join(parts)
+
     def _read_page(self):
-        hdr = self._stream.read(27)
+        hdr = self._read_exact(27)
         if not hdr:
             return False
         if len(hdr) < 27 or hdr[:4] != b"OggS":
@@ -72,11 +85,11 @@ class OggPacketReader:
          nsegs) = struct.unpack("<xxxxBBqIIIB", hdr)
         if version != 0:
             fmt_err("unsupported Ogg page version")
-        lacing = self._stream.read(nsegs)
+        lacing = self._read_exact(nsegs)
         if len(lacing) < nsegs:
             fmt_err("truncated Ogg page")
         body_len = sum(lacing)
-        body = self._stream.read(body_len)
+        body = self._read_exact(body_len)
         if len(body) < body_len:
             fmt_err("truncated Ogg page")
 

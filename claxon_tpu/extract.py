@@ -26,7 +26,7 @@ from .io.bits import Bitstream
 from .io.readers import Crc16Reader, MemReader
 from .subframe import (FIXED_COEFFICIENTS, extend_sign, read_subframe_header,
                        decode_residual, decode_verbatim)
-from .metadata import MetadataBlockReader
+from .metadata import read_flac_metadata
 from .reader import read_stream_header
 
 __all__ = ["SubframeDesc", "FrameDesc", "StreamBatch", "extract_stream",
@@ -165,14 +165,14 @@ def extract_frames(input, max_frames=None):
 
 
 def extract_stream(data, max_frames=None):
-    """Extract a whole FLAC stream (bytes) into a StreamBatch."""
+    """Extract a whole FLAC stream (bytes) into a StreamBatch.
+
+    Uses the public reader's metadata validation (single STREAMINFO first,
+    unique Vorbis comment) so the pipeline accepts and rejects exactly the
+    same streams as ``FlacReader``.
+    """
     reader = MemReader(data)
     read_stream_header(reader)
-    streaminfo = None
-    for block in MetadataBlockReader(reader):
-        if block.kind == "streaminfo" and streaminfo is None:
-            streaminfo = block.streaminfo
-    if streaminfo is None:
-        fmt_err("streaminfo block missing")
+    streaminfo, _vorbis = read_flac_metadata(reader)
     frames = extract_frames(reader, max_frames=max_frames)
     return StreamBatch(streaminfo=streaminfo, frames=frames)

@@ -64,8 +64,11 @@ class SeekPoint:
 
 @dataclass
 class SeekTable:
-    """A seek table; parsed-as-padding in the reference too
-    (`src/metadata.rs:69-73`, TODO: implement seeking)."""
+    """A seek table. Deliberately never constructed: the reference defines
+    the same struct but skips SEEKTABLE blocks as padding
+    (`src/metadata.rs:69-73`, its TODO: implement seeking), and this
+    library matches that behavior exactly -- the type exists only for API
+    parity with the reference's public surface."""
     seekpoints: List[SeekPoint] = field(default_factory=list)
 
 
@@ -345,6 +348,39 @@ def read_application_block(input, length):
     app_id = input.read_be_u32()
     data = input.read_into(length - 4)
     return app_id, data
+
+
+def read_flac_metadata(input, metadata_only=False, read_vorbis_comment=True):
+    """Scan the metadata section with the public-reader validation rules
+    (reference `src/lib.rs:230-297`): the first block must be STREAMINFO,
+    a second STREAMINFO or second Vorbis comment is a format error, and
+    with ``metadata_only`` the scan stops once all desired blocks are read.
+
+    Returns (streaminfo, vorbis_comment). The single implementation behind
+    ``FlacReader``, the Python extractor, and the native binding, so every
+    decode path accepts and rejects exactly the same streams.
+    """
+    from .error import fmt_err
+
+    metadata_iter = MetadataBlockReader(input)
+    first = next(metadata_iter)
+    if first.kind != "streaminfo":
+        fmt_err("streaminfo block missing")
+    streaminfo = first.streaminfo
+
+    want_vorbis = read_vorbis_comment
+    vorbis_comment = None
+    for block in metadata_iter:
+        if block.kind == "vorbis_comment":
+            if vorbis_comment is not None:
+                fmt_err("encountered second Vorbis comment block")
+            vorbis_comment = block.vorbis_comment
+            want_vorbis = False
+        elif block.kind == "streaminfo":
+            fmt_err("encountered second streaminfo block")
+        if metadata_only and not want_vorbis:
+            break
+    return streaminfo, vorbis_comment
 
 
 class MetadataBlockReader:

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..error import FormatError, IoError, Unsupported
 from ..io.readers import MemReader
-from ..metadata import MetadataBlockReader
+from ..metadata import read_flac_metadata
 from .build import ensure_built
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
@@ -92,17 +92,15 @@ def _call(fn, data):
 
 
 def _read_metadata(data):
-    """Parse header + metadata in Python; returns (streaminfo, frame_off)."""
+    """Parse header + metadata in Python; returns (streaminfo, frame_off).
+
+    Shares the public reader's validation (claxon_tpu.metadata.
+    read_flac_metadata) so every decode path accepts the same streams."""
     from ..reader import read_stream_header
 
     reader = MemReader(data)
     read_stream_header(reader)
-    streaminfo = None
-    for block in MetadataBlockReader(reader):
-        if block.kind == "streaminfo" and streaminfo is None:
-            streaminfo = block.streaminfo
-    if streaminfo is None:
-        raise FormatError("streaminfo block missing")
+    streaminfo, _vorbis = read_flac_metadata(reader)
     return streaminfo, reader.pos
 
 
@@ -227,10 +225,15 @@ def decode_stream_scalar(data):
     streaminfo, pos = _read_metadata(data)
     h = _call(lib.cxt_decode, data[pos:])
     try:
+        n_frames = lib.cxt_n_frames(h)
+        frames_buf = np.empty(n_frames, dtype=FRAME_DTYPE)
+        lib.cxt_fill(h, frames_buf.ctypes.data, None, None)
         n = lib.cxt_pcm_len(h)
         pcm = np.empty(n, dtype=np.int32)
         lib.cxt_pcm_fill(h, pcm.ctypes.data)
     finally:
         lib.cxt_free(h)
     channels = streaminfo.channels
+    if np.any(frames_buf["channels"] != channels):
+        raise FormatError("frame channel count does not match streaminfo")
     return streaminfo, pcm.reshape(-1, channels)

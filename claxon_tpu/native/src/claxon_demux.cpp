@@ -405,9 +405,13 @@ void parse_subframe(Bits& b, int bps, int64_t block_size, int32_t* buf,
     order = (int)(n & 0x1F) + 1;
   }
 
-  int wasted = 0;
-  if (b.read_bit()) wasted = 1 + (int)b.read_unary();
-  if (wasted > 31) fmt_err("wasted bits per sample must not exceed 31");
+  // Keep the unary count unsigned so a pathological multi-billion-zero
+  // run cannot wrap negative and bypass the bound checks (the reference
+  // stays in u32 for the same reason).
+  uint32_t wasted_u = 0;
+  if (b.read_bit()) wasted_u = 1 + b.read_unary();
+  if (wasted_u > 31) fmt_err("wasted bits per sample must not exceed 31");
+  int wasted = (int)wasted_u;
   if (wasted >= bps) fmt_err("subframe has no non-wasted bits");
   int sf_bps = bps - wasted;
 

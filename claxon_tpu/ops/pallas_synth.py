@@ -34,7 +34,8 @@ __all__ = ["synthesize_pallas"]
 _GROUP = 8  # output rows stored per aligned vector store
 
 
-def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, out_ref, hist, CT, T):
+def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, lengths_ref, out_ref,
+            hist, CT, T):
     g = pl.program_id(1)  # time chunk (inner, sequential)
 
     @pl.when(g == 0)
@@ -46,6 +47,7 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, out_ref, hist, CT, T):
     c_hi = coefs >> 8             # signed 8-bit limb
     shifts = shifts_ref[0, :]     # (L,)
     orders = orders_ref[0, :]
+    lengths = lengths_ref[0, :]
     s1 = jnp.maximum(shifts, 1)
 
     def one(t, state, xt):
@@ -70,6 +72,7 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, out_ref, hist, CT, T):
         shifted = i(u(lo) >> u(s1)) | (hi << (32 - s1))
         pred = jnp.where(shifts == 0, lo, shifted)
         val = jnp.where(t >= orders, xt + pred, xt)
+        val = jnp.where(t < lengths, val, 0)
         return jnp.concatenate([state[1:], val[None]], axis=0), val
 
     def group(j, state):
@@ -87,7 +90,8 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, out_ref, hist, CT, T):
 
 
 @partial(jax.jit, static_argnames=("chunk", "lane_block"))
-def synthesize_pallas(x, coefs, shifts, orders, chunk=256, lane_block=4096):
+def synthesize_pallas(x, coefs, shifts, orders, lengths=None, chunk=256,
+                      lane_block=4096):
     """Drop-in equivalent of ``ops.predict.synthesize`` (same argument
     convention: x (L, T), coefs (L, 32) left-padded, shifts/orders (L,)).
 
@@ -96,12 +100,15 @@ def synthesize_pallas(x, coefs, shifts, orders, chunk=256, lane_block=4096):
     chunks and resets when a new lane block starts.
     """
     L, T = x.shape
+    if lengths is None:
+        lengths = jnp.full((L,), T, dtype=jnp.int32)
     lpad = (-L) % 128
     if lpad:
         x = jnp.pad(x, ((0, lpad), (0, 0)))
         coefs = jnp.pad(coefs, ((0, lpad), (0, 0)))
         shifts = jnp.pad(shifts, (0, lpad))
         orders = jnp.pad(orders, (0, lpad))
+        lengths = jnp.pad(lengths, (0, lpad))
     Lp = L + lpad
     BL = min(lane_block, Lp)
     while Lp % BL:
@@ -120,6 +127,7 @@ def synthesize_pallas(x, coefs, shifts, orders, chunk=256, lane_block=4096):
             pl.BlockSpec((ORDER_MAX, BL), lambda lb, g: (0, lb)),   # coefs.T
             pl.BlockSpec((1, BL), lambda lb, g: (0, lb)),           # shifts
             pl.BlockSpec((1, BL), lambda lb, g: (0, lb)),           # orders
+            pl.BlockSpec((1, BL), lambda lb, g: (0, lb)),           # lengths
         ],
         out_specs=pl.BlockSpec((CT, BL), lambda lb, g: (g, lb)),
         out_shape=jax.ShapeDtypeStruct((Tp, Lp), jnp.int32),
@@ -127,5 +135,5 @@ def synthesize_pallas(x, coefs, shifts, orders, chunk=256, lane_block=4096):
         interpret=jax.devices()[0].platform != "tpu",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(xt, coefs.T, shifts[None, :], orders[None, :])
+    )(xt, coefs.T, shifts[None, :], orders[None, :], lengths[None, :])
     return out.T[:L, :T]

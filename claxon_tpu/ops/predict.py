@@ -48,15 +48,19 @@ def pack_coefficients(coef_lists):
 
 
 @partial(jax.jit, static_argnames=("unroll",))
-def synthesize(x, coefs, shifts, orders, unroll=4):
+def synthesize(x, coefs, shifts, orders, lengths=None, unroll=4):
     """Batched prediction synthesis.
 
     Args:
-      x:      (L, T) int32 -- warm-up samples in positions [0, order_l),
-              decoded residuals after; padding lanes/samples are zeros.
-      coefs:  (L, 32) int32 -- |c| < 2^15, left-padded (col 31 = newest).
-      shifts: (L,) int32 -- QLP shift, 0..15 (0 for fixed/constant/verbatim).
-      orders: (L,) int32 -- predictor order, 0..32.
+      x:       (L, T) int32 -- warm-up samples in positions [0, order_l),
+               decoded residuals after; padding lanes/samples are zeros.
+      coefs:   (L, 32) int32 -- |c| < 2^15, left-padded (col 31 = newest).
+      shifts:  (L,) int32 -- QLP shift, 0..15 (0 for fixed/constant/verbatim).
+      orders:  (L,) int32 -- predictor order, 0..32.
+      lengths: optional (L,) int32 valid length per lane; outputs at
+               t >= lengths[l] are forced to 0 so time padding cannot
+               extrapolate the recurrence (which would defeat the int16
+               transfer packing's overflow check).
 
     Returns:
       (L, T) int32 decoded samples.
@@ -70,6 +74,8 @@ def synthesize(x, coefs, shifts, orders, unroll=4):
         hi, lo = combine_buckets(*b)
         pred = sar_low32(hi, lo, shifts[:, 0])
         val = jnp.where(t >= orders, xt + pred, xt)
+        if lengths is not None:
+            val = jnp.where(t < lengths, val, 0)
         state = jnp.concatenate([state[:, 1:], val[:, None]], axis=1)
         return state, val
 
@@ -79,7 +85,7 @@ def synthesize(x, coefs, shifts, orders, unroll=4):
     return out.T
 
 
-def synthesize_best(x, coefs, shifts, orders):
+def synthesize_best(x, coefs, shifts, orders, lengths=None):
     """Synthesize with the fastest backend for the current platform:
     the hand-scheduled Pallas kernel on TPU (~1.7x the XLA scan, measured
     on v5e; see ops/pallas_synth.py), the XLA scan elsewhere. Both are
@@ -88,8 +94,8 @@ def synthesize_best(x, coefs, shifts, orders):
     if (jax.devices()[0].platform == "tpu"
             and not os.environ.get("CLAXON_TPU_NO_PALLAS")):
         from .pallas_synth import synthesize_pallas
-        return synthesize_pallas(x, coefs, shifts, orders)
-    return synthesize(x, coefs, shifts, orders)
+        return synthesize_pallas(x, coefs, shifts, orders, lengths)
+    return synthesize(x, coefs, shifts, orders, lengths)
 
 
 def synthesize_reference(x, coefs, shifts, orders):

@@ -59,10 +59,11 @@ def make_decode_step(mesh):
     lanevec = NamedSharding(mesh, P(LANE_AXIS))
 
     @partial(jax.jit,
-             in_shardings=(lanes, lanes, lanevec, lanevec, lanevec, lanevec),
+             in_shardings=(lanes, lanes, lanevec, lanevec, lanevec, lanevec,
+                           lanevec),
              out_shardings=lanes)
-    def decode_step(x, coefs, shifts, orders, wasted, pair_modes):
-        out = synthesize(x, coefs, shifts, orders)
+    def decode_step(x, coefs, shifts, orders, wasted, pair_modes, lengths):
+        out = synthesize(x, coefs, shifts, orders, lengths)
         return apply_epilogue(out, wasted, pair_modes)
 
     return decode_step

@@ -72,10 +72,10 @@ def _decode_program(in_packed, out_packed):
     from .ops.predict import synthesize_best
 
     @jax.jit
-    def prog(x, coefs, shifts, orders, wasted, pair_modes):
+    def prog(x, coefs, shifts, orders, wasted, pair_modes, lengths):
         if in_packed:
             x = unpack_int16_pairs(x)
-        out = synthesize_best(x, coefs, shifts, orders)
+        out = synthesize_best(x, coefs, shifts, orders, lengths)
         out = apply_epilogue(out, wasted, pair_modes)
         if out_packed:
             packed, flag = pack_int16_pairs(out)
@@ -85,11 +85,14 @@ def _decode_program(in_packed, out_packed):
     return prog
 
 
-def device_decode_bucket(x, coefs, shifts, orders, wasted, pair_modes):
+def device_decode_bucket(x, coefs, shifts, orders, wasted, pair_modes,
+                         lengths=None):
     """Run the fused device program on one bucket. All arrays pre-padded;
     lanes pair-aligned (see ops.epilogue lane layout contract)."""
+    if lengths is None:
+        lengths = np.full(x.shape[0], x.shape[1], dtype=np.int32)
     out, _chunks = _decode_program(False, False)(x, coefs, shifts, orders,
-                                                 wasted, pair_modes)
+                                                 wasted, pair_modes, lengths)
     return out
 
 
@@ -129,6 +132,7 @@ def pack_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum=_L_QUANTUM):
     orders = np.zeros(L, dtype=np.int32)
     wasted = np.zeros(L, dtype=np.int32)
     pair_modes = np.zeros(L // 2, dtype=np.int32)
+    lengths = np.zeros(L, dtype=np.int32)
 
     lane = 0
     for fi in frame_idx:
@@ -139,6 +143,7 @@ def pack_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum=_L_QUANTUM):
             shifts[lane] = sf.shift
             orders[lane] = sf.order
             wasted[lane] = sf.wasted
+            lengths[lane] = f.block_size
             lane += 1
         if f.mode != MODE_CODES["independent"] and n_ch == 2:
             # Stereo lanes are pair-aligned: this frame occupies lanes
@@ -146,7 +151,7 @@ def pack_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum=_L_QUANTUM):
             pair_modes[(lane - 2) // 2] = f.mode
     coef_lists.extend([[]] * (L - lane))
     coefs = pack_coefficients(coef_lists)
-    return x, coefs, shifts, orders, wasted, pair_modes
+    return x, coefs, shifts, orders, wasted, pair_modes, lengths
 
 
 def scatter_bucket(out, frames, frame_idx, n_ch, targets):
@@ -261,7 +266,7 @@ class DeviceDecoded:
 
 def _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum):
     """Pack one bucket and launch the device program asynchronously."""
-    x, coefs, shifts, orders, wasted, pair_modes = pack_bucket(
+    x, coefs, shifts, orders, wasted, pair_modes, lengths = pack_bucket(
         frames, frame_idx, n_ch, t_bucket, lane_quantum)
     L, T = x.shape
 
@@ -281,7 +286,7 @@ def _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum):
     prog = _decode_program(in_packed, out_packed)
     args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
             jnp.asarray(orders), jnp.asarray(wasted),
-            jnp.asarray(pair_modes))
+            jnp.asarray(pair_modes), jnp.asarray(lengths))
     if out_packed:
         out, flag, chunks = prog(*args)
         return _BucketDispatch(frame_idx, n_ch, out, chunks, True, flag)
@@ -309,9 +314,17 @@ def decode_batch(batch: StreamBatch, decode_bucket=None,
 
 def _prepare_outputs(batches):
     """Allocate per-stream PCM and the flat frame/target lists."""
+    from .error import fmt_err
+
     frames, targets, results = [], [], []
     for batch in batches:
         si = batch.streaminfo
+        # The aggregated (total, channels) output requires a consistent
+        # channel count; the streaming blocks() API handles per-frame
+        # variation, but here it is a format error (crash-free reject).
+        for f in batch.frames:
+            if f.channels != si.channels:
+                fmt_err("frame channel count does not match streaminfo")
         total = sum(f.block_size for f in batch.frames)
         pcm = np.empty((total, si.channels), dtype=np.int32)
         offsets = frame_offsets(batch.frames)
@@ -374,9 +387,13 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
     Python objects and copies samples in contiguous runs."""
     results, targets_meta = [], []   # targets_meta: per stream (pcm,)
     # Per-frame flat records: (stream, bs, nch, mode, sub0, samp0, out_off)
+    from .error import fmt_err
+
     recs = []
     groups = {}
     for si_idx, (si, frames_buf, subs_buf, samples) in enumerate(raws):
+        if np.any(frames_buf["channels"] != si.channels):
+            fmt_err("frame channel count does not match streaminfo")
         bs_v = frames_buf["block_size"].astype(np.int64)
         nch_v = frames_buf["channels"].astype(np.int64)
         sub0_v = np.concatenate([[0], np.cumsum(nch_v)[:-1]])
@@ -409,6 +426,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
         orders = np.zeros(L, dtype=np.int32)
         wasted = np.zeros(L, dtype=np.int32)
         pair_modes = np.zeros(L // 2, dtype=np.int32)
+        lengths = np.zeros(L, dtype=np.int32)
 
         # Contiguous runs: consecutive frames of one stream with one block
         # size have contiguous sample/subframe spans in the flat arrays.
@@ -433,6 +451,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
             shifts[lane:lane + nl] = subs_buf["shift"][s0:s0 + nl]
             orders[lane:lane + nl] = subs_buf["order"][s0:s0 + nl]
             wasted[lane:lane + nl] = subs_buf["wasted"][s0:s0 + nl]
+            lengths[lane:lane + nl] = bs
             if n_ch == 2:
                 pair_modes[lane // 2:lane // 2 + len(run)] = \
                     [r[3] for r in run]
@@ -452,7 +471,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
         prog = _decode_program(in_packed, out_packed)
         args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
                 jnp.asarray(orders), jnp.asarray(wasted),
-                jnp.asarray(pair_modes))
+                jnp.asarray(pair_modes), jnp.asarray(lengths))
         if out_packed:
             out, flag, chunks = prog(*args)
             dispatches.append(

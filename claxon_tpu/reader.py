@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from .error import FormatError, fmt_err
 from .frame import Block, FrameReader
 from .io.readers import BufferedReader, MemReader
-from .metadata import (MetadataBlockReader, Tags, GetTag)
+from .metadata import read_flac_metadata, Tags, GetTag
 
 __all__ = ["FlacReader", "FlacReaderOptions", "FlacSamples"]
 
@@ -87,30 +87,9 @@ class FlacReader:
 
         read_stream_header(buf_reader)
 
-        opts_current = FlacReaderOptions(options.metadata_only,
-                                         options.read_vorbis_comment)
-
-        metadata_iter = MetadataBlockReader(buf_reader)
-        # The first block must be streaminfo.
-        streaminfo_block = next(metadata_iter)
-        if streaminfo_block.kind != "streaminfo":
-            fmt_err("streaminfo block missing")
-        streaminfo = streaminfo_block.streaminfo
-
-        vorbis_comment = None
-        for block in metadata_iter:
-            if block.kind == "vorbis_comment":
-                # The Vorbis comment block need not be present, but when it
-                # is, it must be unique.
-                if vorbis_comment is not None:
-                    fmt_err("encountered second Vorbis comment block")
-                vorbis_comment = block.vorbis_comment
-                opts_current.read_vorbis_comment = False
-            elif block.kind == "streaminfo":
-                fmt_err("encountered second streaminfo block")
-            # Early-out once all desired blocks have been collected.
-            if not opts_current.has_desired_blocks():
-                break
+        streaminfo, vorbis_comment = read_flac_metadata(
+            buf_reader, metadata_only=options.metadata_only,
+            read_vorbis_comment=options.read_vorbis_comment)
 
         if not options.read_vorbis_comment:
             vorbis_comment = None

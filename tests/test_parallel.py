@@ -51,7 +51,7 @@ def test_decode_step_collective_free():
     coefs = np.zeros((L, 32), np.int32)
     vec = np.zeros(L, np.int32)
     hlo = step.lower(x, coefs, vec, vec, vec,
-                     np.zeros(L // 2, np.int32)).compile().as_text()
+                     np.zeros(L // 2, np.int32), vec).compile().as_text()
     for op in ("all-reduce", "all-gather", "collective-permute",
                "all-to-all", "reduce-scatter"):
         assert op not in hlo

@@ -1,0 +1,105 @@
+"""Regression tests for the code-review findings: metadata validation
+parity across decode paths, channel-count mismatch rejection, and
+padding-extrapolation masking in the device kernels."""
+
+import numpy as np
+import pytest
+
+from claxon_tpu import FlacReader, native
+from claxon_tpu.error import FormatError
+from claxon_tpu.extract import extract_stream
+from claxon_tpu.pipeline import decode_stream
+from claxon_tpu.testing import encode_flac, synth_music, split_flac
+
+
+def make_flac(**kw):
+    return encode_flac(synth_music(3000, channels=2, bps=16, seed=90),
+                       44100, 16, block_size=1024, **kw)
+
+
+def with_second_streaminfo(data):
+    """Duplicate the STREAMINFO block (invalid: must be unique)."""
+    blocks, frames = split_flac(data)
+    si = bytearray(blocks[0])
+    si[0] &= 0x7F  # clear is_last on the first copy
+    return b"fLaC" + bytes(si) + b"".join(blocks) + b"".join(frames)
+
+
+def outcomes(data):
+    out = []
+    for fn in (lambda d: FlacReader(d),
+               lambda d: extract_stream(d),
+               lambda d: decode_stream(d, use_native=False)):
+        try:
+            fn(data)
+            out.append(("ok",))
+        except FormatError as e:
+            out.append((str(e),))
+    if native.available():
+        try:
+            native.extract_stream(data)
+            out.append(("ok",))
+        except FormatError as e:
+            out.append((str(e),))
+    return out
+
+
+def test_second_streaminfo_rejected_everywhere():
+    data = with_second_streaminfo(make_flac())
+    res = outcomes(data)
+    assert all(r == res[0] for r in res)
+    assert "second streaminfo" in res[0][0]
+
+
+def test_valid_stream_accepted_everywhere():
+    res = outcomes(make_flac())
+    assert all(r == ("ok",) for r in res)
+
+
+def test_channel_mismatch_rejected_not_crash():
+    """STREAMINFO says mono but frames are stereo: the aggregating
+    pipeline paths must reject with FormatError, never crash or return
+    uninitialized memory."""
+    stereo = bytearray(make_flac())
+    # STREAMINFO byte 20 (after 'fLaC' + 4-byte header + 12) packs
+    # sample_rate(20) | channels-1(3) | bps-1(5) msb: flip channels 2 -> 1.
+    # Locate via parse: simpler to rebuild the byte.
+    from claxon_tpu.io.readers import MemReader
+    from claxon_tpu.metadata import read_metadata_block_header
+    r = MemReader(bytes(stereo))
+    r.skip(4)
+    read_metadata_block_header(r)
+    si_start = r.pos
+    # streaminfo layout: min_bs(2) max_bs(2) min_fs(3) max_fs(3), then
+    # 8 bytes of packed rate/channels/bps/total; channels-1 occupies bits
+    # 3..1 of byte si_start+12.
+    b = stereo[si_start + 12]
+    stereo[si_start + 12] = (b & ~0b00001110) | (0 << 1)  # channels-1 = 0
+    data = bytes(stereo)
+
+    with pytest.raises(FormatError, match="channel count"):
+        decode_stream(data, use_native=False)
+    if native.available():
+        with pytest.raises(FormatError, match="channel count"):
+            decode_stream(data, use_native=True)
+        with pytest.raises(FormatError, match="channel count"):
+            native.decode_stream_scalar(data)
+
+
+def test_padding_never_trips_int16_flag():
+    """A short tail frame shares the bucket with full frames; the padded
+    region must not extrapolate and overflow the int16 transfer check."""
+    from claxon_tpu.pipeline import decode_streams_device
+
+    # Loud near-full-scale signal with a tail frame: extrapolation beyond
+    # the tail would blow past int16 within the padding.
+    pcm = (synth_music(10000, channels=2, bps=16, seed=91) * 0 +
+           np.linspace(20000, 32000, 20000).astype(np.int64).reshape(10000, 2))
+    data = encode_flac(pcm, 44100, 16, block_size=4096)
+    dev = decode_streams_device([data]).block_until_ready()
+    for d in dev.dispatches:
+        assert d.packed, "16-bit stream should use packed transfers"
+        assert int(np.asarray(d.flag)) == 0, \
+            "padding extrapolation tripped the overflow flag"
+    out = dev.to_host()[0]
+    assert np.array_equal(out.pcm, np.asarray(pcm))
