@@ -26,7 +26,8 @@ signature of the original PCM stored in STREAMINFO.
 from .error import Error, IoError, FormatError, Unsupported
 from .frame import Block, FrameReader
 from .metadata import StreamInfo, VorbisComment
-from .reader import FlacReader, FlacReaderOptions, FlacSamples
+from .reader import (FlacReader, FlacReaderOptions, FlacSamples,
+                     FlacIntoSamples)
 
 __version__ = "0.1.0"
 
@@ -34,6 +35,6 @@ __all__ = [
     "Error", "IoError", "FormatError", "Unsupported",
     "Block", "FrameReader",
     "StreamInfo", "VorbisComment",
-    "FlacReader", "FlacReaderOptions", "FlacSamples",
+    "FlacReader", "FlacReaderOptions", "FlacSamples", "FlacIntoSamples",
     "__version__",
 ]

@@ -14,7 +14,8 @@ from .frame import Block, FrameReader
 from .io.readers import BufferedReader, MemReader
 from .metadata import read_flac_metadata, Tags, GetTag
 
-__all__ = ["FlacReader", "FlacReaderOptions", "FlacSamples"]
+__all__ = ["FlacReader", "FlacReaderOptions", "FlacSamples",
+           "FlacIntoSamples"]
 
 
 @dataclass
@@ -220,3 +221,9 @@ class FlacSamples:
                 self._block = next_block
 
         return self._block.sample(self._channel, self._sample)
+
+
+#: Name-parity alias: the reference distinguishes a borrowing and an owning
+#: sample iterator (`src/lib.rs:180-184`); Python has no ownership split,
+#: so both names are the same iterator type.
+FlacIntoSamples = FlacSamples
