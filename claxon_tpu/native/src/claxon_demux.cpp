@@ -25,6 +25,14 @@
 #include <string>
 #include <vector>
 
+// Per-frame descriptor; the SAME definition is the internal storage and
+// the C-ABI output record (matched by FRAME_DTYPE in binding.py), so the
+// layouts can never drift apart.
+struct CxtFrame {
+  int64_t time;
+  int32_t block_size, channels, mode, bps;
+};
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -140,8 +148,11 @@ struct Bits {
       }
       int z = __builtin_clzll(acc);  // acc != 0, and z < n by invariant
       q += (uint32_t)z;
-      acc <<= z + 1;
-      n -= z + 1;
+      // z can be 63 right after a full-word refill (n == 64); a shift by
+      // 64 is UB and would leave a stale bit in the accumulator.
+      int c = z + 1;
+      acc = (c == 64) ? 0 : acc << c;
+      n -= c;
       return q;
     }
   }
@@ -519,13 +530,8 @@ void apply_wasted(int wasted, int32_t* buf, int64_t n) {
 // ---------------------------------------------------------------------------
 // Whole-stream walkers.
 
-struct Frame {
-  int64_t time;
-  int32_t block_size, channels, mode, bps;
-};
-
 struct Handle {
-  std::vector<Frame> frames;
+  std::vector<CxtFrame> frames;
   std::vector<SubDesc> subs;
   std::vector<int32_t> samples;  // extract: lane-concatenated x buffers
   std::vector<int32_t> pcm;      // decode: interleaved samples
@@ -580,7 +586,7 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
     if (computed != presumed) fmt_err("frame CRC mismatch");
 
     h.frames.push_back(
-        Frame{hdr.time, hdr.block_size, hdr.channels, hdr.mode, hdr.bps});
+        CxtFrame{hdr.time, hdr.block_size, hdr.channels, hdr.mode, hdr.bps});
 
     if (full_decode) {
       for (int ch = 0; ch < nch; ++ch) {
@@ -625,8 +631,11 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
 Handle* run(const uint8_t* data, uint64_t len, bool full_decode,
             int32_t* err_code, char* err_msg, uint64_t msg_cap,
             int64_t max_frames = -1, size_t* consumed = nullptr) {
-  Handle* h = new Handle();
+  // Everything, including the allocation, stays inside the try: no C++
+  // exception (bad_alloc included) may cross the extern "C" boundary.
+  Handle* h = nullptr;
   try {
+    h = new Handle();
     walk_stream(data, (size_t)len, full_decode, *h, max_frames, consumed);
     *err_code = 0;
     return h;
@@ -650,11 +659,6 @@ Handle* run(const uint8_t* data, uint64_t len, bool full_decode,
 }  // namespace
 
 extern "C" {
-
-struct CxtFrame {
-  int64_t time;
-  int32_t block_size, channels, mode, bps;
-};
 
 void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
                   char* err_msg, uint64_t msg_cap) {
