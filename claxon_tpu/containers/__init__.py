@@ -10,6 +10,8 @@ examples and by ``claxon_tpu.pipeline`` container decoding.
 
 from .ogg import OggPacketReader, read_flac_from_ogg
 from .mp4 import Mp4FlacTrack, read_flac_from_mp4
+from .pipeline import decode_ogg_stream, decode_mp4_stream
 
 __all__ = ["OggPacketReader", "read_flac_from_ogg",
-           "Mp4FlacTrack", "read_flac_from_mp4"]
+           "Mp4FlacTrack", "read_flac_from_mp4",
+           "decode_ogg_stream", "decode_mp4_stream"]

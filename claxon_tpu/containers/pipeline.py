@@ -1,0 +1,72 @@
+"""Container decode through the batched TPU pipeline.
+
+The reference's container examples decode frame-at-a-time on the CPU; here
+the same demux layers feed the batched device pipeline: Ogg audio packets
+are whole consecutive FLAC frames (one per packet) and MP4 chunks are runs
+of consecutive frames, so concatenating them reconstitutes a plain frame
+section that ``claxon_tpu.pipeline`` decodes at full throughput.
+"""
+
+import io as _io
+
+from ..error import fmt_err
+from ..io.readers import MemReader
+from ..metadata import read_metadata_block_with_header
+from .mp4 import read_flac_from_mp4
+from .ogg import read_flac_from_ogg
+
+__all__ = ["decode_ogg_stream", "decode_mp4_stream"]
+
+
+def _extract_section(payload, use_native, max_frames=None):
+    from ..extract import extract_frames
+    from ..pipeline import _native_mod
+
+    if use_native:
+        native = _native_mod()
+        if native is not None:
+            return native.extract_frames(payload, max_frames)
+    return extract_frames(MemReader(payload), max_frames=max_frames)
+
+
+def _decode_frames(streaminfo, frames):
+    from ..extract import StreamBatch
+    from ..pipeline import decode_batch
+
+    return decode_batch(StreamBatch(streaminfo=streaminfo, frames=frames))
+
+
+def decode_ogg_stream(data, use_native=True, verify_crc=True):
+    """Decode a whole FLAC-in-Ogg stream (bytes) through the TPU pipeline;
+    returns a ``DecodedStream``."""
+    stream = _io.BytesIO(data) if isinstance(
+        data, (bytes, bytearray, memoryview)) else data
+    streaminfo, header_packets, audio_packets = read_flac_from_ogg(
+        stream, verify_crc=verify_crc)
+    for packet in header_packets:
+        # Metadata blocks: decoded (validated) and discarded, mirroring
+        # the reference example (`examples/decode_ogg.rs:39-43`).
+        read_metadata_block_with_header(MemReader(packet))
+    # Every audio packet is exactly one frame, so the concatenation is a
+    # plain frame section.
+    payload = b"".join(p for p in audio_packets if p)
+    return _decode_frames(streaminfo,
+                          _extract_section(payload, use_native))
+
+
+def decode_mp4_stream(data, use_native=True):
+    """Decode a whole FLAC-in-MP4 file (bytes) through the TPU pipeline;
+    returns a ``DecodedStream``."""
+    data = bytes(data)
+    track = read_flac_from_mp4(data)
+    frames = []
+    for offset, n in zip(track.chunk_offsets, track.samples_per_chunk):
+        if not n:
+            continue
+        if not 0 <= offset <= len(data):
+            fmt_err("invalid MP4 chunk offset")
+        # A chunk holds exactly n frames; the bounded parse stops before
+        # any inter-chunk slack (`examples/decode_mp4.rs:132-167`).
+        frames.extend(_extract_section(data[offset:], use_native,
+                                       max_frames=n))
+    return _decode_frames(track.streaminfo, frames)

@@ -55,6 +55,8 @@ def _load():
                                        ctypes.POINTER(ctypes.c_uint64),
                                        ctypes.POINTER(ctypes.c_int32),
                                        ctypes.c_char_p, ctypes.c_uint64]
+    lib.cxt_extract_limited.restype = ctypes.c_void_p
+    lib.cxt_extract_limited.argtypes = lib.cxt_decode_limited.argtypes
     for name in ("cxt_n_frames", "cxt_n_subframes", "cxt_n_lane_samples",
                  "cxt_pcm_len"):
         fn = getattr(lib, name)
@@ -104,14 +106,27 @@ def _read_metadata(data):
     return streaminfo, reader.pos
 
 
-def extract_frames_raw(payload):
+def extract_frames_raw(payload, max_frames=None):
     """Extract the flat descriptor arrays of a stream's frame section:
     (frames_buf FRAME_DTYPE, subs_buf SUB_DTYPE, samples int32). The
     samples array holds each lane's block (warm-up ++ residuals)
-    consecutively, frame-major, channel-minor."""
+    consecutively, frame-major, channel-minor. ``max_frames`` bounds the
+    parse (container chunks hold a known frame count followed by slack)."""
     lib = _load()
     payload = bytes(payload)
-    h = _call(lib.cxt_extract, payload)
+    if max_frames is None:
+        h = _call(lib.cxt_extract, payload)
+    else:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        err = ctypes.c_int32(0)
+        consumed = ctypes.c_uint64(0)
+        msg = ctypes.create_string_buffer(256)
+        h = lib.cxt_extract_limited(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            max_frames, ctypes.byref(consumed), ctypes.byref(err), msg, 256)
+        if not h:
+            raise _ERRORS.get(err.value, RuntimeError)(
+                msg.value.decode("utf-8", "replace"))
     try:
         n_frames = lib.cxt_n_frames(h)
         n_subs = lib.cxt_n_subframes(h)
@@ -134,13 +149,13 @@ def extract_stream_raw(data):
     return (streaminfo,) + extract_frames_raw(data[pos:])
 
 
-def extract_frames(payload):
+def extract_frames(payload, max_frames=None):
     """Extract FrameDescs from the frame section of a stream (bytes
     positioned at the first frame). Native counterpart of
     ``claxon_tpu.extract.extract_frames``."""
     from ..extract import FrameDesc, SubframeDesc
 
-    frames_buf, subs_buf, samples = extract_frames_raw(payload)
+    frames_buf, subs_buf, samples = extract_frames_raw(payload, max_frames)
     n_frames = len(frames_buf)
 
     frames = []

@@ -670,6 +670,19 @@ void* cxt_decode(const uint8_t* data, uint64_t len, int32_t* err_code,
   return run(data, len, /*full_decode=*/true, err_code, err_msg, msg_cap);
 }
 
+// Extract at most max_frames frames (container chunks hold a known frame
+// count; parsing must stop before inter-chunk slack).
+void* cxt_extract_limited(const uint8_t* data, uint64_t len,
+                          int64_t max_frames, uint64_t* consumed,
+                          int32_t* err_code, char* err_msg,
+                          uint64_t msg_cap) {
+  size_t used = 0;
+  Handle* h = run(data, len, /*full_decode=*/false, err_code, err_msg,
+                  msg_cap, max_frames, &used);
+  *consumed = used;
+  return h;
+}
+
 // Decode at most max_frames frames; *consumed reports the bytes consumed
 // by the successfully decoded frames (the streaming FrameReader entry).
 void* cxt_decode_limited(const uint8_t* data, uint64_t len,

@@ -111,3 +111,68 @@ def test_mp4_roundtrip(frames_per_chunk):
 def test_mp4_no_flac_track():
     with pytest.raises(FormatError):
         read_flac_from_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_pipeline_decode_ogg(use_native):
+    from claxon_tpu.containers import decode_ogg_stream
+
+    flac = make_flac()
+    want = reference_pcm(flac)
+    dec = decode_ogg_stream(mux_ogg_flac(flac), use_native=use_native)
+    assert np.array_equal(dec.pcm, want)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("frames_per_chunk", [1, 4])
+def test_pipeline_decode_mp4(use_native, frames_per_chunk):
+    from claxon_tpu.containers import decode_mp4_stream
+
+    flac = make_flac()
+    want = reference_pcm(flac)
+    mp4 = mux_mp4_flac(flac, frames_per_chunk=frames_per_chunk)
+    dec = decode_mp4_stream(mp4, use_native=use_native)
+    assert np.array_equal(dec.pcm, want)
+
+
+def test_pipeline_decode_mp4_with_interchunk_slack():
+    """Frames must parse strictly per chunk: insert garbage between
+    chunks and confirm the bounded parse never touches it."""
+    from claxon_tpu.containers import decode_mp4_stream
+    from claxon_tpu.testing.containers_gen import split_flac, _box
+    import struct
+
+    flac = make_flac()
+    want = reference_pcm(flac)
+    blocks, frames = split_flac(flac)
+    # Build an mp4 manually with 0xEE slack after each chunk.
+    chunks = [b"".join(frames[i:i + 3]) for i in range(0, len(frames), 3)]
+    dfla = _box(b"dfLa", b"\x00\x00\x00\x00" + b"".join(blocks))
+    entry = _box(b"fLaC", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8 +
+                 struct.pack(">HHHHI", 2, 16, 0, 0, 44100 << 16) + dfla)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    entries = [(1, 3, 1)]
+    if len(frames) % 3:
+        entries.append((len(chunks), len(frames) % 3, 1))
+    stsc = _box(b"stsc", struct.pack(">II", 0, len(entries)) +
+                b"".join(struct.pack(">III", *e) for e in entries))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    def moov(offs):
+        stco = _box(b"stco", struct.pack(">II", 0, len(offs)) +
+                    b"".join(struct.pack(">I", o) for o in offs))
+        return _box(b"moov", _box(b"trak", _box(b"mdia", _box(
+            b"minf", _box(b"stbl", stsd + stsc + stco)))))
+
+    slack = b"\xEE" * 17
+    msz = len(moov([0] * len(chunks)))
+    payload = bytearray()
+    offs = []
+    base = len(ftyp) + msz + 8
+    for c in chunks:
+        offs.append(base + len(payload))
+        payload += c + slack
+    mp4 = ftyp + moov(offs) + _box(b"mdat", bytes(payload))
+
+    dec = decode_mp4_stream(mp4)
+    assert np.array_equal(dec.pcm, want)
