@@ -15,7 +15,7 @@ decoded over an in-memory cursor.
 
 import struct
 
-from ..error import FormatError, fmt_err
+from ..error import fmt_err
 from ..io.readers import MemReader
 
 __all__ = ["OggPacketReader", "read_flac_from_ogg", "ogg_page_crc"]

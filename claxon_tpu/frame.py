@@ -12,7 +12,7 @@ decoding goes through ``claxon_tpu.native`` (C++ demux) feeding
 import numpy as np
 
 from . import subframe
-from .error import Error, FormatError, IoError, Unsupported, fmt_err
+from .error import Error, IoError, Unsupported, fmt_err
 from .io.readers import Crc8Reader, Crc16Reader
 from .io.bits import Bitstream
 

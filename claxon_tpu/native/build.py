@@ -3,6 +3,10 @@
 Compiles ``src/claxon_demux.cpp`` to ``libclaxon_demux.so`` next to this
 file with g++. The binding auto-builds on first import when the .so is
 missing or older than the source (disable with CLAXON_TPU_NO_BUILD=1).
+
+``--ubsan`` builds with -fsanitize=undefined (abort on any UB) -- the
+sanitizer-under-fuzzing role of the reference's ASan/libFuzzer CI
+(`tools/fuzz_on_ci.sh`); combine with ``tools/fuzz.py``.
 """
 
 import os
@@ -14,13 +18,19 @@ HERE = pathlib.Path(__file__).resolve().parent
 SRC = HERE / "src" / "claxon_demux.cpp"
 LIB = HERE / "libclaxon_demux.so"
 
-def build(verbose=True):
+def build(verbose=True, ubsan=False):
     """Compile the shared library; returns the path or raises."""
-    flag_sets = [
-        ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
-         "-funroll-loops"],
-        ["-O3", "-std=c++17", "-fPIC", "-shared"],  # fallback: portable
-    ]
+    if ubsan:
+        flag_sets = [
+            ["-O1", "-std=c++17", "-fPIC", "-shared", "-g",
+             "-fsanitize=undefined", "-fno-sanitize-recover=all"],
+        ]
+    else:
+        flag_sets = [
+            ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
+             "-funroll-loops"],
+            ["-O3", "-std=c++17", "-fPIC", "-shared"],  # fallback: portable
+        ]
     last_err = None
     for flags in flag_sets:
         cmd = ["g++", *flags, str(SRC), "-o", str(LIB)]
@@ -51,4 +61,4 @@ def ensure_built():
 
 
 if __name__ == "__main__":
-    build()
+    build(ubsan="--ubsan" in sys.argv)

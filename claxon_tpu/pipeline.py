@@ -13,7 +13,7 @@ blocks of real-world FLAC, a whole file usually hits a single bucket and the
 program is compiled exactly once per process.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import List
 

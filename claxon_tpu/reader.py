@@ -6,10 +6,9 @@
 ``samples()``, ``into_samples()``, ``into_inner()``.
 """
 
-import io as _io
 from dataclasses import dataclass
 
-from .error import FormatError, fmt_err
+from .error import fmt_err
 from .frame import Block, FrameReader
 from .io.readers import BufferedReader, MemReader
 from .metadata import read_flac_metadata, Tags, GetTag

@@ -19,7 +19,7 @@ overflow semantics deliberately mirror the reference:
 Invalid files thus produce garbage output, never a crash.
 """
 
-from .error import FormatError, Unsupported, fmt_err
+from .error import Unsupported, fmt_err
 
 __all__ = [
     "decode", "extend_sign", "rice_to_signed",

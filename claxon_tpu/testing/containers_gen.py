@@ -13,8 +13,6 @@ from ..frame import FrameReader
 from ..io.readers import MemReader
 from ..metadata import read_metadata_block_header
 from ..reader import read_stream_header
-from .flacgen import BitWriter  # noqa: F401  (re-export convenience)
-
 __all__ = ["split_flac", "mux_ogg_flac", "mux_mp4_flac"]
 
 
