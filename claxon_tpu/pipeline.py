@@ -52,8 +52,9 @@ def _jnp():
 # Device-to-host results are fetched as this many independent lane-slice
 # chunks, copied concurrently (copy_to_host_async): on links where a single
 # large transfer is latency- or window-limited, concurrent chunks recover
-# the bandwidth. L is always a multiple of 128, so 16 divides it.
-_FETCH_CHUNKS = 16
+# the bandwidth (measured on the tunneled link: 8 chunks ~21 MB/s, 128
+# chunks ~33 MB/s). L is always a multiple of 128, so 64 divides it.
+_FETCH_CHUNKS = 64
 
 
 def _split_lanes(a, n):

@@ -5,6 +5,10 @@ Mirrors the reference's profiling role of examples/bench_decode.rs +
 tools/benchmark.sh: where does a decoded sample's time go?
 Stages: native extract | bucket pack (host numpy) | H2D transfer |
 device compute | D2H transfer | scatter.
+
+``--trace DIR`` wraps the run in a JAX profiler trace (view with
+TensorBoard/xprof) -- the TPU-native counterpart of the reference's
+external profiling workflow (`tools/benchmark.sh`).
 """
 
 import pathlib
@@ -111,4 +115,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--trace" in sys.argv:
+        import jax
+
+        idx = sys.argv.index("--trace")
+        trace_dir = sys.argv[idx + 1]
+        del sys.argv[idx:idx + 2]
+        with jax.profiler.trace(trace_dir):
+            main()
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+    else:
+        main()
