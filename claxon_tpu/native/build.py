@@ -17,6 +17,7 @@ import sys
 HERE = pathlib.Path(__file__).resolve().parent
 SRC = HERE / "src" / "claxon_demux.cpp"
 LIB = HERE / "libclaxon_demux.so"
+LIB_UBSAN = HERE / "libclaxon_demux_ubsan.so"
 
 def build(verbose=True, ubsan=False):
     """Compile the shared library; returns the path or raises."""
@@ -31,9 +32,10 @@ def build(verbose=True, ubsan=False):
              "-funroll-loops"],
             ["-O3", "-std=c++17", "-fPIC", "-shared"],  # fallback: portable
         ]
+    out = LIB_UBSAN if ubsan else LIB
     last_err = None
     for flags in flag_sets:
-        cmd = ["g++", *flags, str(SRC), "-o", str(LIB)]
+        cmd = ["g++", *flags, str(SRC), "-o", str(out)]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=300)
@@ -42,20 +44,26 @@ def build(verbose=True, ubsan=False):
             continue
         if proc.returncode == 0:
             if verbose:
-                print(f"built {LIB}", file=sys.stderr)
-            return LIB
+                print(f"built {out}", file=sys.stderr)
+            return out
         last_err = proc.stderr
     raise RuntimeError(f"g++ failed to build {SRC}:\n{last_err}")
 
 
 def ensure_built():
-    """Build if missing/stale; returns the lib path or None on failure."""
+    """Build if missing/stale; returns the lib path or None on failure.
+
+    CLAXON_TPU_UBSAN=1 selects (and builds) the sanitizer-instrumented
+    library instead -- used to run the test suite or tools/fuzz.py with
+    every C++ operation checked for undefined behavior."""
+    ubsan = bool(os.environ.get("CLAXON_TPU_UBSAN"))
+    lib = LIB_UBSAN if ubsan else LIB
     if os.environ.get("CLAXON_TPU_NO_BUILD"):
-        return LIB if LIB.exists() else None
+        return lib if lib.exists() else None
     try:
-        if not LIB.exists() or LIB.stat().st_mtime < SRC.stat().st_mtime:
-            build(verbose=False)
-        return LIB
+        if not lib.exists() or lib.stat().st_mtime < SRC.stat().st_mtime:
+            build(verbose=False, ubsan=ubsan)
+        return lib
     except Exception:
         return None
 

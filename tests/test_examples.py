@@ -135,3 +135,11 @@ def test_example_bench_metadata_runs(corpus, capsys):
     f, flac, want = corpus
     assert ex.main([str(f.parent)]) == 0
     assert "us/file" in capsys.readouterr().out
+
+
+def test_example_device_consumer(corpus, capsys):
+    import device_consumer as ex
+    f, flac, want = corpus
+    assert ex.main([str(f)]) == 0
+    out = capsys.readouterr().out
+    assert "decoded into HBM" in out and "mean RMS" in out
