@@ -231,3 +231,50 @@ def test_pallas_synthesize_golden():
     assert np.asarray(out)[0].tolist() == \
         [-796, -547, -285, -32, 199, 443, 670, 875,
          1046, 1208, 1343, 1454, 1541, 1616, 1663, 1701]
+
+
+def test_rice_decode_device_matches_host():
+    """Device Rice decoder vs a straightforward host decode, over random
+    partitions sharing one packed bit buffer: varying params (incl. 0 and
+    large), long zero runs, word straddles, and u32 quotient wrap."""
+    from claxon_tpu.ops.rice import rice_decode, pack_bits_be
+    from claxon_tpu.testing.flacgen import BitWriter
+
+    rng = np.random.default_rng(77)
+    w = BitWriter()
+    start_bits, params, counts, expected = [], [], [], []
+    bitpos = 0
+
+    def emit(q, k, r):
+        nonlocal bitpos
+        w.write_unary(q)
+        w.write(r, k)
+        bitpos += q + 1 + k
+        v = ((q << k) | r) & 0xFFFFFFFF
+        return -1 - (v >> 1) if v & 1 else v >> 1
+
+    for lane in range(24):
+        k = int(rng.choice([0, 1, 4, 8, 14, 30]))
+        n = int(rng.integers(1, 40))
+        start_bits.append(bitpos)
+        params.append(k)
+        counts.append(n)
+        vals = []
+        for _ in range(n):
+            q = int(rng.choice([0, 1, 2, 7, 40, 200]))
+            r = int(rng.integers(0, 1 << k)) if k else 0
+            vals.append(emit(q, k, r))
+        expected.append(vals)
+    w.align()
+
+    words = pack_bits_be(w.getvalue())
+    out, end = rice_decode(words, start_bits, params, counts)
+    out = np.asarray(out)
+    end = np.asarray(end)
+    for lane, vals in enumerate(expected):
+        got = out[lane, :counts[lane]].tolist()
+        assert got == vals, (lane, params[lane], got[:5], vals[:5])
+        assert np.all(out[lane, counts[lane]:] == 0)
+        nxt = start_bits[lane + 1] if lane + 1 < len(start_bits) else None
+        if nxt is not None:
+            assert int(end[lane]) == nxt  # cursor lands on the next lane
