@@ -14,13 +14,18 @@ the FLAC format's serial structure from the chip (SURVEY.md section 7).
   general order<=32 recurrence -- one kernel, exact for all of them.
 * ``epilogue``: wasted-bits shift + stereo decorrelation (pure elementwise)
   plus the int16-pair transfer packing.
+* ``pallas_synth``: the hand-scheduled Pallas variant of the synthesis
+  kernel (default on TPU via ``predict.synthesize_best``).
 * ``crc``: batched CRC-16 for flows where raw frame bytes live on device.
+* ``rice``: batched Rice entropy decoding over a shared packed bit buffer
+  (the building block for fully in-kernel residual decoding).
 """
 
 from . import i64
-from .predict import synthesize, synthesize_reference
+from .predict import synthesize, synthesize_best, synthesize_reference
 from .epilogue import apply_epilogue
 from .crc import crc16_device
+from .rice import rice_decode
 
-__all__ = ["i64", "synthesize", "synthesize_reference", "apply_epilogue",
-           "crc16_device"]
+__all__ = ["i64", "synthesize", "synthesize_best", "synthesize_reference",
+           "apply_epilogue", "crc16_device", "rice_decode"]

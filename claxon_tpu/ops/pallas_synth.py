@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .i64 import combine_buckets, sar_low32
 from .predict import ORDER_MAX
 
 __all__ = ["synthesize_pallas"]
@@ -35,7 +36,7 @@ _GROUP = 8  # output rows stored per aligned vector store
 
 
 def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, lengths_ref, out_ref,
-            hist, CT, T):
+            hist, CT):
     g = pl.program_id(1)  # time chunk (inner, sequential)
 
     @pl.when(g == 0)
@@ -48,7 +49,6 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, lengths_ref, out_ref,
     shifts = shifts_ref[0, :]     # (L,)
     orders = orders_ref[0, :]
     lengths = lengths_ref[0, :]
-    s1 = jnp.maximum(shifts, 1)
 
     def one(t, state, xt):
         """One recurrence step from the (32, L) state register."""
@@ -58,19 +58,11 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, lengths_ref, out_ref,
         b1 = jnp.sum(c_hi * s_lo, axis=0)
         b2 = jnp.sum(c_lo * s_hi, axis=0)
         b3 = jnp.sum(c_hi * s_hi, axis=0)
-        # Recombine B0 + B1*2^8 + B2*2^16 + B3*2^24 into (hi, lo) and
-        # arithmetic-shift; uint32 values live in int32 lanes.
-        u = lambda v: v.astype(jnp.uint32)
-        i = lambda v: v.astype(jnp.int32)
-        hi, lo = b0 >> 31, b0
-        for b, k in ((b1, 8), (b2, 16), (b3, 24)):
-            bl = b << k
-            bh = ((b >> 31) << k) | i(u(b) >> (32 - k))
-            nlo = i(u(lo) + u(bl))
-            carry = i(u(nlo) < u(lo))
-            hi, lo = hi + bh + carry, nlo
-        shifted = i(u(lo) >> u(s1)) | (hi << (32 - s1))
-        pred = jnp.where(shifts == 0, lo, shifted)
+        # The shared exact recombination + arithmetic shift (ops.i64 is
+        # plain jnp ops, so it traces inside the kernel): one definition
+        # of the exactness-critical arithmetic for every backend.
+        hi, lo = combine_buckets(b0, b1, b2, b3)
+        pred = sar_low32(hi, lo, shifts)
         val = jnp.where(t >= orders, xt + pred, xt)
         val = jnp.where(t < lengths, val, 0)
         return jnp.concatenate([state[1:], val[None]], axis=0), val
@@ -100,6 +92,8 @@ def synthesize_pallas(x, coefs, shifts, orders, lengths=None, chunk=256,
     chunks and resets when a new lane block starts.
     """
     L, T = x.shape
+    if L == 0:
+        return x  # empty bucket: nothing to synthesize
     if lengths is None:
         lengths = jnp.full((L,), T, dtype=jnp.int32)
     lpad = (-L) % 128
@@ -114,13 +108,15 @@ def synthesize_pallas(x, coefs, shifts, orders, lengths=None, chunk=256,
     while Lp % BL:
         BL -= 128
 
+    # CT must be a whole number of _GROUP-row stores.
+    chunk = max(_GROUP, (chunk // _GROUP) * _GROUP)
     CT = min(chunk, max(_GROUP, ((T + _GROUP - 1) // _GROUP) * _GROUP))
     pad = (-T) % CT
     xt = jnp.pad(x, ((0, 0), (0, pad))).T      # (Tp, Lp) time-major
     Tp = T + pad
 
     out = pl.pallas_call(
-        partial(_kernel, CT=CT, T=Tp),
+        partial(_kernel, CT=CT),
         grid=(Lp // BL, Tp // CT),
         in_specs=[
             pl.BlockSpec((CT, BL), lambda lb, g: (g, lb)),          # x

@@ -102,7 +102,6 @@ def synthesize_reference(x, coefs, shifts, orders):
     """Pure-numpy/Python oracle with identical semantics, for kernel tests."""
     x = np.asarray(x)
     L, T = x.shape
-    out = np.array(x, dtype=np.int64)
     result = np.zeros((L, T), dtype=np.int32)
     for l in range(L):
         order = int(orders[l])

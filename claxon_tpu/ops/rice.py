@@ -139,6 +139,13 @@ def rice_decode(words, start_bits, params, counts, max_count=None):
     """
     import numpy as np
 
+    # Bit cursors are int32 lanes (TPU has no fast int64): the packed
+    # buffer must stay under 2^31 bits. Segment larger corpora into
+    # multiple buffers.
+    if int(np.asarray(words).shape[0]) > (1 << 26):  # 2^31 bits / 32
+        raise ValueError("packed bit buffer exceeds the int32 cursor "
+                         "range (2^31 bits, 256 MiB); split the input")
+
     counts = np.asarray(counts, dtype=np.int32)
     T = int(max_count if max_count is not None else counts.max(initial=0))
     return _rice_prog(T)(

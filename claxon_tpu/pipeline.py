@@ -53,8 +53,8 @@ def _jnp():
 # chunks, copied concurrently (copy_to_host_async): on links where a single
 # large transfer is latency- or window-limited, concurrent chunks recover
 # the bandwidth (measured on the tunneled link: 8 chunks ~21 MB/s, 128
-# chunks ~33 MB/s). L is always a multiple of 128, so 64 divides it.
-_FETCH_CHUNKS = 64
+# chunks ~33-48 MB/s). L is always a multiple of 128, so 128 divides it.
+_FETCH_CHUNKS = 128
 
 
 def _split_lanes(a, n):
