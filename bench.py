@@ -31,7 +31,8 @@ CACHE = pathlib.Path(__file__).resolve().parent / ".bench_cache"
 CORPUS_VERSION = "v1"
 N_STREAMS = 8
 SECONDS_PER_STREAM = 10
-MIN_TIMED_SECONDS = 5.0
+MIN_TIMED_SECONDS = 9.0
+N_WINDOWS = 3
 
 
 def build_corpus():
@@ -89,26 +90,38 @@ def main():
     # Timed runs: whole pipeline (host demux + device decode + PCM back on
     # the host), software-pipelined: while one batch's results stream back
     # over the link, the next batch is already being demuxed and decoded.
-    # Capped by wall time, not rep count: the device link's throughput can
-    # vary by orders of magnitude between runs, and a slow phase must not
-    # make the benchmark run for minutes.
+    # The reported figure is the MEDIAN over several self-contained timed
+    # windows -- the reference's methodology also averages many runs
+    # (`tools/benchmark_against_libflac.sh`, 11 rounds) because a single
+    # window is at the mercy of environmental noise; this device link in
+    # particular has order-of-magnitude slow phases. Each window is also
+    # wall-time capped so a stall cannot run the benchmark for minutes.
+    rates = []
     reps = 0
-    in_flight = []
-    t0 = time.perf_counter()
-    while True:
-        dev = decode_streams_device(datas)
-        dev.start_fetch()
-        in_flight.append(dev)
-        reps += 1
-        if len(in_flight) > 1:
-            in_flight.pop(0).to_host()
-        elapsed = time.perf_counter() - t0
-        if elapsed >= MIN_TIMED_SECONDS or reps >= 50:
-            break
-    for dev in in_flight:
-        dev.to_host()
-    elapsed = time.perf_counter() - t0
-    msamples_s = total_samples * reps / elapsed / 1e6
+    bench_t0 = time.perf_counter()
+    for _window in range(N_WINDOWS):
+        w0 = time.perf_counter()
+        w_reps = 0
+        in_flight = []
+        while True:
+            dev = decode_streams_device(datas)
+            dev.start_fetch()
+            in_flight.append(dev)
+            w_reps += 1
+            if len(in_flight) > 1:
+                in_flight.pop(0).to_host()
+            if (time.perf_counter() - w0 >= MIN_TIMED_SECONDS / N_WINDOWS
+                    or w_reps >= 20):
+                break
+        for dev in in_flight:
+            dev.to_host()
+        rates.append(total_samples * w_reps /
+                     (time.perf_counter() - w0))
+        reps += w_reps
+        if time.perf_counter() - bench_t0 > 120:
+            break  # pathological stall phase: stop with what we have
+    rates.sort()
+    msamples_s = rates[len(rates) // 2] / 1e6
 
     # Decode-to-device: the zero-host-round-trip path feeding TPU
     # consumers straight from HBM (the framework's native product).
