@@ -7,8 +7,10 @@ claxon_tpu.native.build``); falls back cleanly when absent --
 
 from .binding import (available, extract_stream, extract_stream_raw,
                       extract_frames, decode_frames_limited,
-                      decode_stream_scalar)
+                      decode_stream_scalar, has_pack_helpers, rows_to_i16,
+                      minmax)
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
            "extract_frames", "decode_frames_limited",
-           "decode_stream_scalar"]
+           "decode_stream_scalar", "has_pack_helpers", "rows_to_i16",
+           "minmax"]

@@ -68,6 +68,18 @@ def _load():
     lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.cxt_free.restype = None
     lib.cxt_free.argtypes = [ctypes.c_void_p]
+    try:  # newer helpers; a stale .so just loses the fast-pack path
+        lib.cxt_rows_to_i16.restype = None
+        lib.cxt_rows_to_i16.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_int64]
+        lib.cxt_minmax.restype = None
+        lib.cxt_minmax.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.POINTER(ctypes.c_int32)]
+        lib._has_pack_helpers = True
+    except AttributeError:
+        lib._has_pack_helpers = False
     _lib = lib
     return lib
 
@@ -226,6 +238,31 @@ def decode_frames_limited(payload, max_frames=1):
     finally:
         lib.cxt_free(h)
     return int(consumed.value), frames_buf, pcm
+
+
+def has_pack_helpers():
+    lib = _load()
+    return bool(lib is not None and lib._has_pack_helpers)
+
+
+def rows_to_i16(src, n_rows, bs, dst16, lane0):
+    """Fused copy-convert: ``n_rows`` rows of ``bs`` int32 samples from the
+    contiguous ``src`` (1-D int32) into rows [lane0, lane0+n_rows) of the
+    2-D int16 array ``dst16``. Values must already fit int16."""
+    lib = _load()
+    lib.cxt_rows_to_i16(src.ctypes.data, n_rows, bs, dst16.ctypes.data,
+                        dst16.shape[1], lane0)
+
+
+def minmax(arr):
+    """(min, max) over a contiguous int32 array, including 0 (single C
+    pass; the int16-input packing decision)."""
+    lib = _load()
+    mn = ctypes.c_int32(0)
+    mx = ctypes.c_int32(0)
+    lib.cxt_minmax(arr.ctypes.data, arr.size, ctypes.byref(mn),
+                   ctypes.byref(mx))
+    return int(mn.value), int(mx.value)
 
 
 def decode_stream_scalar(data):

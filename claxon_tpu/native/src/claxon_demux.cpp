@@ -723,6 +723,34 @@ void cxt_pcm_fill(void* hv, int32_t* out) {
 
 void cxt_free(void* h) { delete (Handle*)h; }
 
+// Fused bucket-fill helper for the pipeline's packed-input fast path:
+// copy n_rows rows of bs int32 samples (starting at src[0]) into an int16
+// destination with dst_stride int16 elements per row, converting in one
+// pass (values must already be known to fit int16; the caller decides via
+// a min/max scan). Rows beyond bs stay untouched (pre-zeroed by caller).
+void cxt_rows_to_i16(const int32_t* __restrict src, int64_t n_rows,
+                     int64_t bs, int16_t* __restrict dst,
+                     int64_t dst_stride, int64_t lane0) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int32_t* __restrict s = src + r * bs;
+    int16_t* __restrict d = dst + (lane0 + r) * dst_stride;
+#pragma GCC ivdep
+    for (int64_t i = 0; i < bs; ++i) d[i] = (int16_t)s[i];
+  }
+}
+
+// Min/max over a run of int32 samples (the packing decision), single pass.
+void cxt_minmax(const int32_t* src, int64_t n, int32_t* mn, int32_t* mx) {
+  int32_t lo = 0, hi = 0;  // padding is zero, so include 0 in the range
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = src[i];
+    lo = v < lo ? v : lo;
+    hi = v > hi ? v : hi;
+  }
+  *mn = lo;
+  *mx = hi;
+}
+
 int32_t cxt_abi_version() { return 1; }
 
 }  // extern "C"

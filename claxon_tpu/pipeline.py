@@ -378,7 +378,8 @@ def decode_batches(batches, decode_bucket=None,
 
 
 def _t_bucket_of(bs):
-    return _T_BUCKETS[int(np.searchsorted(_T_BUCKETS, bs))]
+    from bisect import bisect_left
+    return _T_BUCKETS[bisect_left(_T_BUCKETS, bs)]
 
 
 def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
@@ -418,10 +419,11 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
     dispatches = []
     scatter_plans = []  # parallel to dispatches: list of (rec, lane0)
     jnp = _jnp()
+    native = _native_mod()
+    fast_pack = native is not None and native.has_pack_helpers()
     for (t_bucket, n_ch), rlist in groups.items():
         n_lanes = len(rlist) * n_ch
         L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
-        x = np.zeros((L, T), dtype=np.int32)
         coefs = np.zeros((L, ORDER_MAX), dtype=np.int32)
         shifts = np.zeros(L, dtype=np.int32)
         orders = np.zeros(L, dtype=np.int32)
@@ -429,10 +431,15 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
         pair_modes = np.zeros(L // 2, dtype=np.int32)
         lengths = np.zeros(L, dtype=np.int32)
 
-        # Contiguous runs: consecutive frames of one stream with one block
-        # size have contiguous sample/subframe spans in the flat arrays.
+        # Pass 1 -- contiguous runs: consecutive frames of one stream with
+        # one block size have contiguous sample/subframe spans in the flat
+        # arrays. Also decide input packing (single C min/max pass per
+        # run) before any sample copy, so the int16 path converts in one
+        # fused native pass instead of copy + scan + astype.
         lane = 0
         plan = []
+        runs = []  # (si_idx, p0, nl, bs, lane0)
+        mn = mx = 0
         i = 0
         while i < len(rlist):
             j = i
@@ -446,8 +453,11 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
             _si, frames_buf, subs_buf, samples = raws[si_idx]
             s0 = run[0][4]
             p0 = run[0][5]
-            x[lane:lane + nl, :bs] = \
-                samples[p0:p0 + nl * bs].reshape(nl, bs)
+            runs.append((si_idx, p0, nl, bs, lane))
+            if fast_pack:
+                lo, hi = native.minmax(samples[p0:p0 + nl * bs])
+                mn = min(mn, lo)
+                mx = max(mx, hi)
             coefs[lane:lane + nl] = subs_buf["coefs"][s0:s0 + nl]
             shifts[lane:lane + nl] = subs_buf["shift"][s0:s0 + nl]
             orders[lane:lane + nl] = subs_buf["order"][s0:s0 + nl]
@@ -461,12 +471,32 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
                 lane += n_ch
             i = j + 1
 
-        in_packed = (T % 2 == 0 and
-                     x.min(initial=0) >= -32768 and
-                     x.max(initial=0) <= 32767)
-        if in_packed:
-            x16 = x.reshape(L, T // 2, 2).astype(np.int16)
-            x = np.ascontiguousarray(x16).view(np.int32).reshape(L, T // 2)
+        # Pass 2 -- fill the bucket in its final transfer form.
+        if fast_pack:
+            in_packed = T % 2 == 0 and mn >= -32768 and mx <= 32767
+            if in_packed:
+                x16 = np.zeros((L, T), dtype=np.int16)
+                for si_idx, p0, nl, bs, lane0 in runs:
+                    native.rows_to_i16(raws[si_idx][3][p0:p0 + nl * bs],
+                                       nl, bs, x16, lane0)
+                x = x16.view(np.int32)  # (L, T//2) little-endian pairs
+            else:
+                x = np.zeros((L, T), dtype=np.int32)
+                for si_idx, p0, nl, bs, lane0 in runs:
+                    x[lane0:lane0 + nl, :bs] = \
+                        raws[si_idx][3][p0:p0 + nl * bs].reshape(nl, bs)
+        else:
+            x = np.zeros((L, T), dtype=np.int32)
+            for si_idx, p0, nl, bs, lane0 in runs:
+                x[lane0:lane0 + nl, :bs] = \
+                    raws[si_idx][3][p0:p0 + nl * bs].reshape(nl, bs)
+            in_packed = (T % 2 == 0 and
+                         x.min(initial=0) >= -32768 and
+                         x.max(initial=0) <= 32767)
+            if in_packed:
+                x16p = x.reshape(L, T // 2, 2).astype(np.int16)
+                x = np.ascontiguousarray(x16p).view(np.int32) \
+                    .reshape(L, T // 2)
         out_packed = (T % 2 == 0 and all(r[7] <= 16 for r in rlist))
 
         prog = _decode_program(in_packed, out_packed)
