@@ -132,13 +132,13 @@ def main():
     while True:
         dev = decode_streams_device(datas)
         if pending is not None:
-            pending.block_until_ready()
+            pending.sync()  # reliable completion barrier (tiny fetch)
         pending = dev
         dev_reps += 1
         dev_elapsed = time.perf_counter() - t0
         if dev_elapsed >= MIN_TIMED_SECONDS or dev_reps >= 50:
             break
-    pending.block_until_ready()
+    pending.sync()
     dev_elapsed = time.perf_counter() - t0
     dev_msamples_s = total_samples * dev_reps / dev_elapsed / 1e6
 

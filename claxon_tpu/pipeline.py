@@ -218,6 +218,16 @@ class DeviceDecoded:
         jax.block_until_ready([d.out_full for d in self.dispatches])
         return self
 
+    def sync(self):
+        """Force completion of every bucket's compute by fetching one tiny
+        dependent value per bucket. On backends whose block_until_ready
+        acknowledges asynchronously (remote transports), this is the
+        reliable completion barrier."""
+        for d in self.dispatches:
+            probe = d.flag if d.flag is not None else d.out_full[:1, :1]
+            np.asarray(probe)
+        return self
+
     def start_fetch(self):
         """Begin the device-to-host copies of every transfer chunk without
         waiting for them, so they overlap any host work done before
