@@ -126,19 +126,20 @@ def main():
     # Decode-to-device: the zero-host-round-trip path feeding TPU
     # consumers straight from HBM (the framework's native product).
     # Pipelined: extract batch n+1 while batch n computes.
+    # Device work executes in dispatch order, so ONE final sync (a tiny
+    # dependent fetch -- the reliable barrier on this transport) proves
+    # every rep completed; per-rep probes would bill the link's scalar
+    # round-trip latency to the decoder.
     dev_reps = 0
-    pending = None
+    last = None
     t0 = time.perf_counter()
     while True:
-        dev = decode_streams_device(datas)
-        if pending is not None:
-            pending.sync()  # reliable completion barrier (tiny fetch)
-        pending = dev
+        last = decode_streams_device(datas)
         dev_reps += 1
         dev_elapsed = time.perf_counter() - t0
         if dev_elapsed >= MIN_TIMED_SECONDS or dev_reps >= 50:
             break
-    pending.sync()
+    last.sync()
     dev_elapsed = time.perf_counter() - t0
     dev_msamples_s = total_samples * dev_reps / dev_elapsed / 1e6
 
