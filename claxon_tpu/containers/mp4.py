@@ -26,8 +26,12 @@ def _boxes(data, start, end):
         size, btype = struct.unpack_from(">I4s", data, pos)
         body = pos + 8
         if size == 1:
+            if pos + 16 > end:
+                fmt_err("invalid MP4 box size")
             (size,) = struct.unpack_from(">Q", data, pos + 8)
             body = pos + 16
+            if size < 16:
+                fmt_err("invalid MP4 box size")
         elif size == 0:
             size = end - pos
         if size < 8 or pos + size > end:
@@ -60,7 +64,11 @@ class Mp4FlacTrack:
 
 
 def _parse_stsc(data, b0, b1):
+    if b0 + 8 > b1:
+        fmt_err("invalid MP4 sample table")
     count = struct.unpack_from(">I", data, b0 + 4)[0]
+    if b0 + 8 + count * 12 > b1:
+        fmt_err("invalid MP4 sample table")  # count overruns the box
     entries = []
     pos = b0 + 8
     for _ in range(count):
@@ -71,9 +79,13 @@ def _parse_stsc(data, b0, b1):
 
 
 def _parse_stco(data, b0, b1, wide):
+    if b0 + 8 > b1:
+        fmt_err("invalid MP4 sample table")
     count = struct.unpack_from(">I", data, b0 + 4)[0]
     fmt = ">Q" if wide else ">I"
     step = 8 if wide else 4
+    if b0 + 8 + count * step > b1:
+        fmt_err("invalid MP4 sample table")
     return [struct.unpack_from(fmt, data, b0 + 8 + i * step)[0]
             for i in range(count)]
 

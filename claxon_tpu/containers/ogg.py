@@ -140,7 +140,9 @@ def read_flac_from_ogg(stream, verify_crc=True):
     from ..metadata import read_metadata_block_with_header
 
     packets = OggPacketReader(stream, verify_crc=verify_crc)
-    first = next(packets)
+    first = next(packets, None)
+    if first is None:
+        fmt_err("invalid Ogg page")  # empty stream: no pages at all
     cursor = MemReader(first)
     # 0x7F 'FLAC' major minor: 7 bytes of mapping magic/version.
     if len(first) < 9 or first[0] != 0x7F or first[1:5] != b"FLAC":
@@ -155,6 +157,9 @@ def read_flac_from_ogg(stream, verify_crc=True):
 
     def header_packets():
         for _ in range(n_header_packets):
-            yield next(packets)
+            pkt = next(packets, None)
+            if pkt is None:
+                fmt_err("Ogg stream ends before its declared header packets")
+            yield pkt
 
     return block.streaminfo, header_packets(), packets

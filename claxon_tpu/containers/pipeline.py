@@ -58,15 +58,26 @@ def decode_mp4_stream(data, use_native=True):
     """Decode a whole FLAC-in-MP4 file (bytes) through the TPU pipeline;
     returns a ``DecodedStream``."""
     data = bytes(data)
+    view = memoryview(data)
     track = read_flac_from_mp4(data)
+    # Bound each chunk's byte range by the next chunk's offset (offsets may
+    # be written in any order) so a decode never copies the whole file
+    # suffix per chunk.
+    sorted_offsets = sorted(o for o, n in
+                            zip(track.chunk_offsets,
+                                track.samples_per_chunk) if n)
     frames = []
     for offset, n in zip(track.chunk_offsets, track.samples_per_chunk):
         if not n:
             continue
-        if not 0 <= offset <= len(data):
+        if not 0 <= offset < len(data):
             fmt_err("invalid MP4 chunk offset")
+        nxt = [o for o in sorted_offsets if o > offset]
+        end = nxt[0] if nxt else len(data)
         # A chunk holds exactly n frames; the bounded parse stops before
         # any inter-chunk slack (`examples/decode_mp4.rs:132-167`).
-        frames.extend(_extract_section(data[offset:], use_native,
-                                       max_frames=n))
+        got = _extract_section(view[offset:end], use_native, max_frames=n)
+        if len(got) < n:
+            fmt_err("MP4 chunk ends before its declared frame count")
+        frames.extend(got)
     return _decode_frames(track.streaminfo, frames)

@@ -40,8 +40,15 @@ def lane_quantum(mesh):
     return (128 * 2 * n) // math.gcd(128, 2 * n)
 
 
+_STEP_CACHE = {}
+
+
 def make_decode_step(mesh):
     """Build the jitted, mesh-sharded whole-decode-step program.
+
+    Cached per mesh: jax.jit keys its compilation cache on the function
+    object, so rebuilding the closure every call would recompile the
+    sharded program (tens of seconds on TPU) on every decode.
 
     Shardings: every lane-indexed array is sharded on its lane axis over
     ``LANE_AXIS``; there is no replicated model state. The synthesis scan
@@ -49,6 +56,10 @@ def make_decode_step(mesh):
     collectives (verifiable: the compiled HLO contains no all-reduce /
     all-gather / collective-permute).
     """
+    cached = _STEP_CACHE.get(mesh)
+    if cached is not None:
+        return cached
+
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -66,6 +77,7 @@ def make_decode_step(mesh):
         out = synthesize(x, coefs, shifts, orders, lengths)
         return apply_epilogue(out, wasted, pair_modes)
 
+    _STEP_CACHE[mesh] = decode_step
     return decode_step
 
 

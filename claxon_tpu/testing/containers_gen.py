@@ -133,11 +133,17 @@ def mux_mp4_flac(flac_data, frames_per_chunk=3):
         struct.pack(">HHHHI", 2, 16, 0, 0, 44100 << 16) + dfla)
     stsd = _box(b"stsd", struct.pack(">II", 0, 1) + sample_entry)
 
-    # stsc entries: (first_chunk, samples_per_chunk, sdi). Two entries when
-    # the tail chunk is short.
-    entries = [(1, frames_per_chunk, 1)]
+    # stsc entries: (first_chunk, samples_per_chunk, sdi), first_chunk
+    # strictly increasing (ISO 14496-12): a second entry only when a short
+    # tail chunk follows at least one full chunk.
     if chunks and len(chunks[-1]) != frames_per_chunk:
-        entries.append((len(chunks), len(chunks[-1]), 1))
+        if len(chunks) == 1:
+            entries = [(1, len(chunks[-1]), 1)]
+        else:
+            entries = [(1, frames_per_chunk, 1),
+                       (len(chunks), len(chunks[-1]), 1)]
+    else:
+        entries = [(1, frames_per_chunk, 1)]
     stsc = _box(b"stsc", struct.pack(">II", 0, len(entries)) +
                 b"".join(struct.pack(">III", *e) for e in entries))
 

@@ -176,3 +176,65 @@ def test_pipeline_decode_mp4_with_interchunk_slack():
 
     dec = decode_mp4_stream(mp4)
     assert np.array_equal(dec.pcm, want)
+
+
+def test_container_malformed_inputs_raise_error_only():
+    """Crafted invalid container bytes must raise claxon_tpu.Error, never
+    struct.error / StopIteration / RuntimeError (review regressions)."""
+    import struct as _s
+    from claxon_tpu.error import Error
+    from claxon_tpu.containers import decode_mp4_stream
+    from claxon_tpu.testing.containers_gen import _box
+
+    cases = [
+        b"",                                               # empty ogg
+        b"OggS" + b"\x00" * 23,                            # truncated page
+        _box(b"ftyp", b"isomAAAA") + b"\x00\x00\x00\x01moov\xff\xff",
+        _box(b"ftyp", b"isomAAAA") +
+        _box(b"moov", _box(b"trak", _box(b"mdia", _box(b"minf", _box(
+            b"stbl",
+            _box(b"stsd", _s.pack(">II", 0, 1) + _box(
+                b"fLaC", b"\x00" * 28 + _box(b"dfLa", b"\x00" * 4))) +
+            _box(b"stsc", _s.pack(">II", 0, 0xFFFFFFF0)) +
+            _box(b"stco", _s.pack(">II", 0, 1) + _s.pack(">I", 0))))))),
+    ]
+    for i, data in enumerate(cases):
+        for fn in (lambda d: read_flac_from_ogg(io.BytesIO(d)),
+                   lambda d: decode_mp4_stream(d)):
+            try:
+                r = fn(data)
+                if isinstance(r, tuple):
+                    list(r[1]); list(r[2])
+            except Error:
+                pass
+            except Exception as e:
+                raise AssertionError(
+                    f"case {i}: {type(e).__name__}: {e}") from e
+
+
+def test_ogg_missing_header_packets_is_format_error():
+    import struct
+    from claxon_tpu.testing.containers_gen import _ogg_pages, split_flac
+
+    flac = make_flac(n=2000)
+    blocks, _frames = split_flac(flac)
+    # An ID packet declaring 3 header packets, but the stream ends after it.
+    id_packet = (bytes([0x7F]) + b"FLAC" + bytes([1, 0]) +
+                 struct.pack(">H", 3) + b"fLaC" + blocks[0])
+    ogg = b"".join(_ogg_pages([id_packet]))
+    si, headers, audio = read_flac_from_ogg(io.BytesIO(ogg))
+    with pytest.raises(FormatError, match="header packets"):
+        list(headers)
+
+
+def test_mp4_single_short_chunk_stsc_valid():
+    """A 2-frame file with frames_per_chunk=3 must not emit duplicate
+    stsc first_chunk entries."""
+    pcm = synth_music(2000, channels=2, bps=16, seed=5)
+    flac = encode_flac(pcm, 44100, 16, block_size=1024)
+    mp4 = mux_mp4_flac(flac, frames_per_chunk=3)
+    track = read_flac_from_mp4(mp4)
+    assert sum(track.samples_per_chunk) == 2
+    from claxon_tpu.containers import decode_mp4_stream
+    dec = decode_mp4_stream(mp4)
+    assert np.array_equal(dec.pcm, reference_pcm(flac))
