@@ -47,6 +47,15 @@ def seeds():
     return out
 
 
+def container_seeds():
+    from claxon_tpu.testing import mux_ogg_flac, mux_mp4_flac
+
+    pcm = synth_music(1500, channels=2, bps=16, seed=6)
+    flac = encode_flac(pcm, 44100, 16, block_size=576)
+    return ([bytearray(mux_ogg_flac(flac))],
+            [bytearray(mux_mp4_flac(flac, frames_per_chunk=2))])
+
+
 def mutate(rng, seed):
     data = bytearray(seed)
     op = rng.integers(0, 4)
@@ -94,15 +103,59 @@ def outcome_python_extract(data):
         return (type(e).__name__, str(e))
 
 
+def outcome_container(data, decoder):
+    try:
+        decoder(bytes(data))
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__,)
+
+
 def run(seconds=60, seed=0):
+    import io
+    from claxon_tpu.containers import read_flac_from_ogg, read_flac_from_mp4
+    from claxon_tpu.containers.pipeline import _extract_section
+
+    def ogg_decoder(d):
+        _si, headers, audio = read_flac_from_ogg(io.BytesIO(d))
+        for _ in headers:
+            pass
+        for _ in audio:
+            pass
+
+    def mp4_decoder(d):
+        # Demux + host extraction only (no device work: fuzz throughput).
+        track = read_flac_from_mp4(d)
+        view = memoryview(d)
+        for offset, cnt in zip(track.chunk_offsets,
+                               track.samples_per_chunk):
+            if cnt and 0 <= offset < len(d):
+                _extract_section(view[offset:], use_native=True,
+                                 max_frames=cnt)
+
     rng = np.random.default_rng(seed)
     seed_inputs = seeds()
+    ogg_seeds, mp4_seeds = container_seeds()
     n = crashes = 0
     deadline = time.time() + seconds
     while time.time() < deadline:
-        data = mutate(rng, seed_inputs[int(rng.integers(0, len(seed_inputs)))])
+        kind = int(rng.integers(0, 8))
         n += 1
+        if kind == 6:
+            data = mutate(rng, ogg_seeds[0])
+        elif kind == 7:
+            data = mutate(rng, mp4_seeds[0])
+        else:
+            data = mutate(rng,
+                          seed_inputs[int(rng.integers(0,
+                                                       len(seed_inputs)))])
         try:
+            if kind == 6:  # Ogg container path
+                outcome_container(data, ogg_decoder)
+                continue
+            if kind == 7:  # MP4 container path
+                outcome_container(data, mp4_decoder)
+                continue
             py = outcome_python(data)
             if native.available():
                 nat = outcome_native(data)
