@@ -121,7 +121,12 @@ def main():
         if time.perf_counter() - bench_t0 > 120:
             break  # pathological stall phase: stop with what we have
     rates.sort()
-    msamples_s = rates[len(rates) // 2] / 1e6
+    mid = len(rates) // 2
+    if len(rates) % 2:
+        median = rates[mid]
+    else:
+        median = (rates[mid - 1] + rates[mid]) / 2
+    msamples_s = median / 1e6
 
     # Decode-to-device: the zero-host-round-trip path feeding TPU
     # consumers straight from HBM (the framework's native product).

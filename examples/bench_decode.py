@@ -19,7 +19,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from claxon_tpu import FlacReader
-from claxon_tpu.frame import FrameReader
 from claxon_tpu.io.readers import MemReader
 
 

@@ -46,7 +46,6 @@ def main(argv):
         return 1
 
     timings = []
-    total_bytes = 0
     for _round in range(10):
         for f in files:
             t0 = time.perf_counter_ns()
@@ -59,6 +58,9 @@ def main(argv):
     print(f"files: {len(files)}  reads: {len(t)}")
     print(f"p10 {p10:9.1f}  p50 {p50:9.1f}  p90 {p90:9.1f}  "
           f"mean {t.mean():9.1f} us/file")
+    seconds_per_round = t.sum() / 1e6 / 10
+    mib_s = total_bytes / 2**20 / seconds_per_round
+    print(f"{mib_s:9.1f} MiB/s over the files' bytes")
     return 0
 
 

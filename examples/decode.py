@@ -33,7 +33,8 @@ def decode_file_scalar(fname):
         parts.append(np.stack([np.array(block.channel(ch))
                                for ch in range(block.channels())], axis=1))
         buf = block.into_buffer()
-    pcm = np.concatenate(parts, axis=0) if parts else np.zeros((0, 1), np.int32)
+    pcm = (np.concatenate(parts, axis=0) if parts
+           else np.zeros((0, si.channels), np.int32))
     out = pathlib.Path(fname).with_suffix(".wav")
     write_wav(out, pcm, si.sample_rate, si.bits_per_sample)
     return out

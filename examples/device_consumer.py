@@ -51,10 +51,11 @@ def main(argv):
         print(f"{fname}: {d.pcm.shape[0]} samples x "
               f"{d.streaminfo.channels} ch decoded into HBM")
     for frame_idx, n_ch, rms, zc in results:
-        lanes = np.count_nonzero(rms)
+        lanes = int(np.count_nonzero(rms))
+        mean_rms = rms[rms > 0].mean() if lanes else 0.0
+        mean_zcr = zc[rms > 0].mean() if lanes else 0.0
         print(f"  bucket: {len(rms)} lanes ({lanes} active)  "
-              f"mean RMS {rms[rms > 0].mean():8.1f}  "
-              f"mean ZCR {zc[rms > 0].mean():6.3f}")
+              f"mean RMS {mean_rms:8.1f}  mean ZCR {mean_zcr:6.3f}")
     return 0
 
 

@@ -1,4 +1,4 @@
-#!/bin/sh
+#!/bin/bash
 # Run the headline benchmark N times and store one JSON line per run.
 #
 # Counterpart of the reference's `tools/benchmark.sh` (CPU pinning and
@@ -9,7 +9,7 @@
 #
 # Usage: tools/benchmark.sh <name> [runs]
 
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 
 NAME="${1:?usage: tools/benchmark.sh <name> [runs]}"

@@ -6,12 +6,13 @@ decode_header / decode_single_block / decode_full / diff) and its CI runner
 (`tools/fuzz_on_ci.sh`). Seeds are generated valid streams plus the
 committed corpus; mutations are random byte flips/truncations/insertions.
 
-Contract checked on every input, mirroring the reference's targets:
-  * decode (all paths) either succeeds or raises claxon_tpu.Error --
-    anything else (or a native crash) is a bug;
-  * Python-path and C++-path outcomes agree (`diff`-style differential);
-  * decoding into differently-poisoned recycled buffers is deterministic
-    (the reference's `diff` fuzzer, `fuzz/fuzzers/diff.rs:27-78`).
+Contract checked, mirroring the reference's targets:
+  * decode (all paths, including the Ogg/MP4 demuxers) either succeeds or
+    raises claxon_tpu.Error -- anything else (or a native crash) is a bug;
+  * Python-path and C++-path outcomes agree (differential);
+  * on a sampled share of inputs, decoding into differently-poisoned
+    recycled buffers is deterministic (the reference's `diff` fuzzer,
+    `fuzz/fuzzers/diff.rs:27-78`).
 
 Usage: python tools/fuzz.py [seconds] [--seed N]
 Writes crashing inputs to fuzz_crashes/.
@@ -103,6 +104,45 @@ def outcome_python_extract(data):
         return (type(e).__name__, str(e))
 
 
+def check_poison_determinism(data, max_blocks=3):
+    """The reference's diff fuzzer (`fuzz/fuzzers/diff.rs:27-78`): decoding
+    into recycled buffers pre-filled with different markers must be
+    identical -- no output element may leak old buffer contents."""
+    from claxon_tpu.frame import FrameReader
+    from claxon_tpu.io.readers import MemReader
+    from claxon_tpu.metadata import read_flac_metadata
+    from claxon_tpu.reader import read_stream_header
+
+    def blocks_with_marker(marker):
+        reader = MemReader(data)
+        try:
+            read_stream_header(reader)
+            read_flac_metadata(reader)
+        except Error:
+            return []
+        fr = FrameReader(reader)
+        out, buf = [], None
+        for _ in range(max_blocks):
+            if buf is not None:
+                buf[:] = marker
+            try:
+                b = fr.read_next_or_eof(buf)
+            except Error:
+                break
+            if b is None:
+                break
+            out.append(np.array([b.channel(c)
+                                 for c in range(b.channels())]))
+            buf = b.into_buffer()
+        return out
+
+    a = blocks_with_marker(13)
+    b = blocks_with_marker(17)
+    assert len(a) == len(b), "poisoned decode: block count differs"
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y), "poisoned decode: outputs differ"
+
+
 def outcome_container(data, decoder):
     try:
         decoder(bytes(data))
@@ -157,6 +197,8 @@ def run(seconds=60, seed=0):
                 outcome_container(data, mp4_decoder)
                 continue
             py = outcome_python(data)
+            if kind == 5:  # buffer-poisoning determinism (diff fuzzer)
+                check_poison_determinism(data)
             if native.available():
                 nat = outcome_native(data)
                 pex = outcome_python_extract(data)

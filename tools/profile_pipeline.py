@@ -79,8 +79,8 @@ def main():
     # 4. device compute (synthesize + epilogue), data already on device
     def compute():
         outs = []
-        for (x, coefs, shifts, orders, wasted, pm) in dev:
-            o = synthesize(x, coefs, shifts, orders)
+        for (x, coefs, shifts, orders, wasted, pm, lengths) in dev:
+            o = synthesize(x, coefs, shifts, orders, lengths)
             outs.append(apply_epilogue(o, wasted, pm))
         jax.block_until_ready(outs)
         return outs
@@ -94,9 +94,7 @@ def main():
     print(f"d2h:     {td*1e3:8.1f} ms  ({total/td/1e6:7.1f} Msamples/s)")
 
     # 6. scatter
-    pcms = {}
     targets = []
-    off = 0
     for b in batches:
         pcm = np.empty((sum(f.block_size for f in b.frames),
                         b.streaminfo.channels), np.int32)
