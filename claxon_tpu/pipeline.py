@@ -262,12 +262,14 @@ class DeviceDecoded:
             plans, pcms = self._raw_plans
             for d, plan in zip(self.dispatches, plans):
                 out = self._fetch_bucket(d)
-                for rec, lane0 in plan:
-                    _si, bs, n_ch, out_off = rec[0], rec[1], rec[2], rec[6]
-                    pcm = pcms[rec[0]]
+                for si_idx, out0, nf, bs, n_ch, lane0 in plan:
+                    pcm = pcms[si_idx]
+                    # One strided copy per (run, channel): frames of a run
+                    # are stream-consecutive, so their output rows are too.
                     for ci in range(n_ch):
-                        pcm[out_off:out_off + bs, ci] = \
-                            out[lane0 + ci, :bs]
+                        pcm[out0:out0 + nf * bs, ci] = \
+                            out[lane0 + ci:lane0 + nf * n_ch:n_ch,
+                                :bs].reshape(-1)
             return self.results
         for d in self.dispatches:
             scatter_bucket(self._fetch_bucket(d), self.frames, d.frame_idx,
@@ -464,6 +466,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
             s0 = run[0][4]
             p0 = run[0][5]
             runs.append((si_idx, p0, nl, bs, lane))
+            plan.append((si_idx, run[0][6], len(run), bs, n_ch, lane))
             if fast_pack:
                 lo, hi = native.minmax(samples[p0:p0 + nl * bs])
                 mn = min(mn, lo)
@@ -476,9 +479,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
             if n_ch == 2:
                 pair_modes[lane // 2:lane // 2 + len(run)] = \
                     [r[3] for r in run]
-            for r in run:
-                plan.append((r, lane))
-                lane += n_ch
+            lane += nl
             i = j + 1
 
         # Pass 2 -- fill the bucket in its final transfer form.
