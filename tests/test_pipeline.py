@@ -101,3 +101,21 @@ def test_raw_path_matches_object_path():
         assert np.array_equal(a.pcm, b.pcm)
         assert a.frame_times == b.frame_times
         assert a.frame_sizes == b.frame_sizes
+
+
+def test_pipeline_max_block_size_odd_bucket():
+    """Block size 65535 lands in the odd-width time bucket where the int16
+    pair packing is disabled on both link directions -- the unpacked path
+    must stay bit-exact."""
+    pcm = synth_music(70000, channels=2, bps=16, seed=71)
+    data = encode_flac(pcm, 44100, 16, block_size=65535)
+    dec = assert_pipeline_matches(data)
+    assert dec.frame_sizes == [65535, 4465]
+
+
+def test_pipeline_long_stream_multibucket():
+    """A long stream spanning several buckets plus stragglers."""
+    pcm = synth_music(300000, channels=2, bps=16, seed=72)
+    data = encode_flac(pcm, 44100, 16, block_size=2048)
+    dec = assert_pipeline_matches(data)
+    assert len(dec.frame_sizes) == (300000 + 2047) // 2048
