@@ -78,12 +78,12 @@ def _extract_subframe(bits, bps, block_size):
         fmt_err("subframe has no non-wasted bits")
     sf_bps = bps - wasted
 
-    buf = [0] * block_size
-
     if sf_type == "constant":
         v = extend_sign(bits.read_leq_u32(sf_bps), sf_bps)
         x = np.full(block_size, v, dtype=np.int32)
         return SubframeDesc(x, 0, 0, np.zeros(0, np.int32), wasted)
+
+    buf = [0] * block_size
 
     if sf_type == "verbatim":
         decode_verbatim(bits, sf_bps, buf)

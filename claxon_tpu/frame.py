@@ -12,7 +12,7 @@ decoding goes through ``claxon_tpu.native`` (C++ demux) feeding
 import numpy as np
 
 from . import subframe
-from .error import Error, IoError, Unsupported, fmt_err
+from .error import IoError, Unsupported, fmt_err
 from .io.readers import Crc8Reader, Crc16Reader
 from .io.bits import Bitstream
 
@@ -359,20 +359,24 @@ class FrameReader:
             # window lives on the reader so a second FrameReader/samples()
             # call continues exactly where the first stopped.
             window = self.input.native_window
+            grow = 65536
             while True:
                 try:
                     consumed, fbuf, pcm = native.decode_frames_limited(
                         bytes(window), 1)
                 except IoError:
-                    chunk = self.input.read_up_to(65536)
+                    chunk = self.input.read_up_to(grow)
                     if not chunk:
                         raise  # genuine mid-frame end of stream
                     window += chunk
+                    # Double the growth so a huge frame costs O(n) total
+                    # window re-parses, not O(n^2).
+                    grow = min(grow * 2, 1 << 22)
                     continue
                 if len(fbuf) == 0:
                     # Window ends at a frame boundary; clean EOF only if
                     # the stream really is exhausted.
-                    chunk = self.input.read_up_to(65536)
+                    chunk = self.input.read_up_to(grow)
                     if not chunk:
                         return None
                     window += chunk

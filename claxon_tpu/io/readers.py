@@ -46,10 +46,15 @@ class _ReadBytesBase:
         return (b0 << 8) | b1
 
     def read_be_u16_or_eof(self):
+        # EOF at EITHER byte is a clean None, like the reference
+        # (`src/input.rs:93-100`): a stream ending one byte into a
+        # would-be frame header is a clean end of stream.
         b0 = self.read_u8_or_eof()
         if b0 is None:
             return None
-        b1 = self.read_u8()
+        b1 = self.read_u8_or_eof()
+        if b1 is None:
+            return None
         return (b0 << 8) | b1
 
     def read_be_u24(self):

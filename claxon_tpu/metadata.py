@@ -13,7 +13,7 @@ the two standalone entry points used for container embedding:
 from dataclasses import dataclass, field
 from typing import Optional, List, Tuple
 
-from .error import Error, FormatError, Unsupported, fmt_err
+from .error import Error, Unsupported, fmt_err
 
 __all__ = [
     "StreamInfo", "SeekPoint", "SeekTable", "VorbisComment",
@@ -88,8 +88,10 @@ class MetadataBlock:
     """A metadata block (reference `src/metadata.rs:103-129`).
 
     ``kind`` is one of: ``"streaminfo"``, ``"padding"``, ``"application"``,
-    ``"seektable"``, ``"vorbis_comment"``, ``"cuesheet"``, ``"picture"``,
-    ``"reserved"``; the payload lives in the matching attribute.
+    ``"vorbis_comment"``, ``"reserved"``. SEEKTABLE, CUESHEET and PICTURE
+    blocks are skipped and surface as ``"padding"``, exactly like the
+    reference (`src/metadata.rs:287-304`); the ``seektable`` attribute
+    exists only for API parity and is never populated.
     """
 
     __slots__ = ("kind", "streaminfo", "vorbis_comment", "length",
@@ -148,10 +150,27 @@ class GetTag:
             comment, sep = self._comments[self._i]
             self._i += 1
             name = comment[:sep]
-            # ASCII case-insensitive compare, like eq_ignore_ascii_case.
-            if len(name) == len(needle) and name.lower() == needle.lower():
+            if _eq_ignore_ascii_case(name, needle):
                 return comment[sep + 1:]
         raise StopIteration
+
+
+def _eq_ignore_ascii_case(a, b):
+    """ASCII-only case-insensitive equality, like the reference's
+    eq_ignore_ascii_case (`src/metadata.rs:204`): non-ASCII characters
+    never match case-insensitively (Python's str.lower() would fold e.g.
+    the Kelvin sign into 'k')."""
+    if len(a) != len(b):
+        return False
+    for ca, cb in zip(a, b):
+        oa, ob = ord(ca), ord(cb)
+        if 65 <= oa <= 90:
+            oa += 32
+        if 65 <= ob <= 90:
+            ob += 32
+        if oa != ob:
+            return False
+    return True
 
 
 def read_metadata_block_header(input):
@@ -360,8 +379,6 @@ def read_flac_metadata(input, metadata_only=False, read_vorbis_comment=True):
     ``FlacReader``, the Python extractor, and the native binding, so every
     decode path accepts and rejects exactly the same streams.
     """
-    from .error import fmt_err
-
     metadata_iter = MetadataBlockReader(input)
     first = next(metadata_iter)
     if first.kind != "streaminfo":

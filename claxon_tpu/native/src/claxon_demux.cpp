@@ -213,9 +213,11 @@ uint64_t read_var_length_int(Bits& b) {
   return result;
 }
 
-// Returns false at a clean EOF (stream ends exactly at a frame boundary).
+// Returns false at a clean EOF: the stream ending at the frame boundary
+// OR one byte into the would-be sync word, matching the reference's
+// read_be_u16_or_eof (`src/input.rs:93-100`).
 bool read_frame_header(Bits& b, Header& h) {
-  if (b.at_eos()) return false;
+  if ((size_t)b.n + 8 * (size_t)(b.end - b.p) < 16) return false;
   size_t hdr_start = b.bytepos();
 
   uint32_t sync_res_block = b.read_be_u16();

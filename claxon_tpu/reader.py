@@ -29,11 +29,6 @@ class FlacReaderOptions:
     metadata_only: bool = False
     read_vorbis_comment: bool = True
 
-    def has_desired_blocks(self):
-        if not self.metadata_only:
-            return True
-        return self.read_vorbis_comment
-
 
 def _open_file(filename):
     from .error import IoError
@@ -58,7 +53,8 @@ def read_stream_header(input):
 
 
 class FlacReader:
-    """A FLAC decoder reading from a file path, bytes, or binary stream.
+    """A FLAC decoder reading from bytes, an in-memory cursor, or a binary
+    stream; use ``FlacReader.open(path)`` for file paths.
 
     Reference: `src/lib.rs:93-471`. The streaming decode path here is the
     reference-fidelity host path; for maximum throughput over whole files
@@ -192,7 +188,6 @@ class FlacSamples:
         self._sample = 0
         self._channel = 0
         self._has_failed = False
-        self._channel_data = None
 
     def __iter__(self):
         return self

@@ -103,3 +103,32 @@ def test_padding_never_trips_int16_flag():
             "padding extrapolation tripped the overflow flag"
     out = dev.to_host()[0]
     assert np.array_equal(out.pcm, np.asarray(pcm))
+
+
+def test_trailing_byte_is_clean_eof():
+    """A single stray byte after the last frame is a clean end of stream
+    (reference `src/input.rs:93-100`), on every decode path."""
+    from claxon_tpu.extract import extract_stream as py_extract
+
+    data = make_flac() + b"\xff"
+    n = len(list(FlacReader(data).samples()))
+    assert n == 3000 * 2
+    assert len(py_extract(data).frames) == 3
+    if native.available():
+        assert len(native.extract_stream(data).frames) == 3
+        si, pcm = native.decode_stream_scalar(data)
+        assert pcm.shape == (3000, 2)
+    # Two or more stray bytes are a bad sync code, not a clean EOF.
+    with pytest.raises(FormatError, match="sync"):
+        list(FlacReader(make_flac() + b"\x00\x00").samples())
+
+
+def test_get_tag_ascii_only_case_folding():
+    """Non-ASCII needles never match ASCII names case-insensitively
+    (reference eq_ignore_ascii_case, `src/metadata.rs:204`)."""
+    data = encode_flac(synth_music(500, channels=1, bps=16, seed=1),
+                       44100, 16, tags=(("k", "v"), ("TITLE", "t")))
+    r = FlacReader(data)
+    assert list(r.get_tag("K")) == ["v"]
+    assert list(r.get_tag("K")) == []   # Kelvin sign is not 'K'
+    assert list(r.get_tag("title")) == ["t"]
