@@ -13,6 +13,7 @@ from claxon_tpu.testing import encode_flac, synth_music
 from util import decode_all_blocks, interleave, pcm_md5
 
 N = int(os.environ.get("CLAXON_TPU_SWEEP", "12"))
+SEED_BASE = int(os.environ.get("CLAXON_TPU_SWEEP_SEED", "123400"))
 
 
 def random_case(rng):
@@ -41,7 +42,7 @@ def random_case(rng):
 
 @pytest.mark.parametrize("case", range(N))
 def test_sweep_all_paths_md5(case):
-    rng = np.random.default_rng(123400 + case)
+    rng = np.random.default_rng(SEED_BASE + case)
     data, bps = random_case(rng)
 
     reader = FlacReader(data)
