@@ -21,6 +21,7 @@
 // allocates numpy buffers, cxt_fill/cxt_pcm_fill copy out, cxt_free frees.
 
 #include <cstdint>
+#include <algorithm>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -555,6 +556,13 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
                  size_t* consumed = nullptr) {
   Bits b(data, len);
   std::vector<int32_t> scratch;
+  // Typical FLAC compresses 16-bit audio to ~0.5x, i.e. about one sample
+  // per input byte; reserving 2x that (capped) avoids the growth
+  // reallocations' large memcpys on the extraction hot path.
+  if (!full_decode && max_frames < 0)
+    h.samples.reserve(std::min<size_t>(len * 2, (size_t)1 << 27));
+  if (full_decode && max_frames < 0)
+    h.pcm.reserve(std::min<size_t>(len * 2, (size_t)1 << 27));
   while (max_frames < 0 || (int64_t)h.frames.size() < max_frames) {
     size_t frame_start = b.bytepos();
     Header hdr;
