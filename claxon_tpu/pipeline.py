@@ -37,6 +37,9 @@ _L_QUANTUM = 128  # lane-axis padding quantum (one VPU lane row)
 
 def bucket_shape(n_lanes, block_size, lane_quantum=_L_QUANTUM):
     """The padded (L, T) compile shape for a group of subframes."""
+    if block_size > _T_BUCKETS[-1]:
+        from .error import fmt_err
+        fmt_err("invalid block size, exceeds 65535")
     for t in _T_BUCKETS:
         if block_size <= t:
             break
@@ -53,21 +56,34 @@ def _jnp():
 # chunks, copied concurrently (copy_to_host_async): on links where a single
 # large transfer is latency- or window-limited, concurrent chunks recover
 # the bandwidth (measured on the tunneled link: 8 chunks ~21 MB/s, 128
-# chunks ~33-48 MB/s). L is always a multiple of 128, so 128 divides it.
+# chunks ~33-48 MB/s).
 _FETCH_CHUNKS = 128
+
+# The int16-pair transfer packing reinterprets int32 words as int16 pairs
+# via numpy views, which is only correct on little-endian hosts (every TPU
+# host is; the guard keeps the pipeline bit-exact anywhere).
+import sys as _sys
+
+_LITTLE_ENDIAN = _sys.byteorder == "little"
 
 
 def _split_lanes(a, n):
-    step = a.shape[0] // n
-    return tuple(a[i * step:(i + 1) * step] for i in range(n))
+    """Split lanes into at most n nonempty, size-balanced chunks covering
+    every lane (L need not divide n)."""
+    L = a.shape[0]
+    n = max(1, min(n, L))
+    step = -(-L // n)  # ceil
+    return tuple(a[i:i + step] for i in range(0, L, step))
 
 
 @lru_cache(maxsize=None)
-def _decode_program(in_packed, out_packed):
+def _decode_program(in_packed, out_packed, chunked=True):
     """The fused per-bucket device program, compiled once per (shape,
     packing) combination. Input/output int16-pair packing halves the bytes
     crossing the host link for 16-bit audio (see ops.epilogue); the
-    transfer form is pre-split into fetch chunks inside the program."""
+    transfer form is pre-split into fetch chunks inside the program.
+    ``chunked=False`` omits the transfer form entirely (callers that keep
+    the result on device, or fetch it whole)."""
     import jax
 
     from .ops.predict import synthesize_best
@@ -78,6 +94,8 @@ def _decode_program(in_packed, out_packed):
             x = unpack_int16_pairs(x)
         out = synthesize_best(x, coefs, shifts, orders, lengths)
         out = apply_epilogue(out, wasted, pair_modes)
+        if not chunked:
+            return out
         if out_packed:
             packed, flag = pack_int16_pairs(out)
             return out, flag, _split_lanes(packed, _FETCH_CHUNKS)
@@ -92,9 +110,16 @@ def device_decode_bucket(x, coefs, shifts, orders, wasted, pair_modes,
     lanes pair-aligned (see ops.epilogue lane layout contract)."""
     if lengths is None:
         lengths = np.full(x.shape[0], x.shape[1], dtype=np.int32)
-    out, _chunks = _decode_program(False, False)(x, coefs, shifts, orders,
-                                                 wasted, pair_modes, lengths)
-    return out
+    return _decode_program(False, False, chunked=False)(
+        x, coefs, shifts, orders, wasted, pair_modes, lengths)
+
+
+def _pack_input_i16(x):
+    """Host-side int16-pair packing of an (L, T) int32 bucket whose values
+    all fit int16 (T even): one copy, then a zero-copy int32 view."""
+    L, T = x.shape
+    x16 = np.ascontiguousarray(x.reshape(L, T // 2, 2).astype(np.int16))
+    return x16.view(np.int32).reshape(L, T // 2)
 
 
 @dataclass
@@ -121,8 +146,9 @@ def group_frames(frames, lane_quantum=_L_QUANTUM):
 def pack_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum=_L_QUANTUM):
     """Pack one group of frames into the padded device-bucket arrays.
 
-    Returns (x, coefs, shifts, orders, wasted, pair_modes), all padded to
-    the (L, T) = ``bucket_shape`` compile shape, lanes pair-aligned.
+    Returns (x, coefs, shifts, orders, wasted, pair_modes, lengths), all
+    padded to the (L, T) = ``bucket_shape`` compile shape, lanes
+    pair-aligned; ``lengths`` holds each lane's valid sample count.
     """
     n_lanes = len(frame_idx) * n_ch
     L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
@@ -243,8 +269,37 @@ class DeviceDecoded:
         return self
 
     def device_buckets(self):
-        """[(frame_idx, n_ch, (L, T) int32 device array), ...]"""
+        """[(frame_idx, n_ch, (L, T) int32 device array), ...].
+
+        ``frame_idx`` indexes ``self.frames`` on the FrameDesc path; the
+        raw native path carries no FrameDesc objects, so there it is []
+        and the lane-to-stream mapping comes from ``lane_plans()``."""
         return [(d.frame_idx, d.n_ch, d.out_full) for d in self.dispatches]
+
+    def lane_plans(self):
+        """Per-bucket lane layout: a list (one entry per bucket, parallel
+        to ``device_buckets()``) of run tuples
+        ``(stream_index, out_sample_offset, n_frames, block_size,
+        n_channels, first_lane)`` -- each run occupies lanes
+        ``[first_lane, first_lane + n_frames * n_channels)`` frame-major,
+        channel-minor. Available on both decode paths."""
+        if self._raw_plans is not None:
+            return [list(p) for p in self._raw_plans[0]]
+        plans = []
+        for d in self.dispatches:
+            plan = []
+            lane = 0
+            for fi in d.frame_idx:
+                f = self.frames[fi]
+                # targets[fi] = (pcm, offset); recover the stream index by
+                # identity of the pcm array.
+                pcm, off = self.targets[fi]
+                si_idx = next(i for i, r in enumerate(self.results)
+                              if r.pcm is pcm)
+                plan.append((si_idx, off, 1, f.block_size, d.n_ch, lane))
+                lane += d.n_ch
+            plans.append(plan)
+        return plans
 
     @staticmethod
     def _fetch_bucket(d):
@@ -285,14 +340,14 @@ def _dispatch_bucket(frames, frame_idx, n_ch, t_bucket, lane_quantum):
 
     # Input packing: when every value (residuals + warm-up) fits int16 and
     # T is even, ship half the bytes and unpack on device.
-    in_packed = (T % 2 == 0 and x.min() >= -32768 and x.max() <= 32767)
+    in_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
+                 x.min() >= -32768 and x.max() <= 32767)
     if in_packed:
-        x16 = x.reshape(L, T // 2, 2).astype(np.int16)
-        x = np.ascontiguousarray(x16).view(np.int32).reshape(L, T // 2)
+        x = _pack_input_i16(x)
 
     # Output packing: final PCM fits bps bits for valid streams; the device
     # flag guards invalid ones.
-    out_packed = (T % 2 == 0 and
+    out_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
                   all(frames[fi].bps <= 16 for fi in frame_idx))
 
     jnp = _jnp()
@@ -339,7 +394,7 @@ def _prepare_outputs(batches):
             if f.channels != si.channels:
                 fmt_err("frame channel count does not match streaminfo")
         total = sum(f.block_size for f in batch.frames)
-        pcm = np.empty((total, si.channels), dtype=np.int32)
+        pcm = np.zeros((total, si.channels), dtype=np.int32)
         offsets = frame_offsets(batch.frames)
         for i, f in enumerate(batch.frames):
             frames.append(f)
@@ -400,7 +455,8 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
     calling decode_batches_device; this path never materializes per-frame
     Python objects and copies samples in contiguous runs."""
     results, targets_meta = [], []   # targets_meta: per stream (pcm,)
-    # Per-frame flat records: (stream, bs, nch, mode, sub0, samp0, out_off)
+    # Per-frame flat records:
+    # (stream, bs, nch, mode, sub0, samp0, out_off, bps)
     from .error import fmt_err
 
     recs = []
@@ -414,7 +470,7 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
         samp0_v = np.concatenate([[0], np.cumsum(bs_v * nch_v)[:-1]])
         out0_v = np.concatenate([[0], np.cumsum(bs_v)[:-1]])
         total = int(bs_v.sum())
-        pcm = np.empty((total, si.channels), dtype=np.int32)
+        pcm = np.zeros((total, si.channels), dtype=np.int32)
         results.append(DecodedStream(
             streaminfo=si, pcm=pcm,
             frame_times=frames_buf["time"].tolist(),
@@ -484,7 +540,8 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
 
         # Pass 2 -- fill the bucket in its final transfer form.
         if fast_pack:
-            in_packed = T % 2 == 0 and mn >= -32768 and mx <= 32767
+            in_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
+                         mn >= -32768 and mx <= 32767)
             if in_packed:
                 x16 = np.zeros((L, T), dtype=np.int16)
                 for si_idx, p0, nl, bs, lane0 in runs:
@@ -501,14 +558,13 @@ def decode_raw_batches_device(raws, lane_quantum=_L_QUANTUM):
             for si_idx, p0, nl, bs, lane0 in runs:
                 x[lane0:lane0 + nl, :bs] = \
                     raws[si_idx][3][p0:p0 + nl * bs].reshape(nl, bs)
-            in_packed = (T % 2 == 0 and
+            in_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
                          x.min(initial=0) >= -32768 and
                          x.max(initial=0) <= 32767)
             if in_packed:
-                x16p = x.reshape(L, T // 2, 2).astype(np.int16)
-                x = np.ascontiguousarray(x16p).view(np.int32) \
-                    .reshape(L, T // 2)
-        out_packed = (T % 2 == 0 and all(r[7] <= 16 for r in rlist))
+                x = _pack_input_i16(x)
+        out_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
+                      all(r[7] <= 16 for r in rlist))
 
         prog = _decode_program(in_packed, out_packed)
         args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
