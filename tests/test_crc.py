@@ -39,12 +39,12 @@ def test_crc_reader_streams_match_whole_buffer():
 
 
 def test_crc_readers_forbid_skip():
+    import pytest
     r = Crc8Reader(MemReader(b"abcdef"))
-    try:
+    with pytest.raises(AssertionError):
         r.skip(2)
-        assert False, "skip through a CRC reader must be rejected"
-    except AssertionError:
-        pass
+    with pytest.raises(AssertionError):
+        r.read_into(2)
 
 
 def test_crc16_combine_matrices():

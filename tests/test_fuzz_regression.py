@@ -80,7 +80,9 @@ def _first_blocks_with_poison(data, marker, max_blocks=4):
         return []  # malformed before the first frame: nothing to compare
     fr = FrameReader(reader)
     out = []
-    buf = None
+    # Poison the FIRST block's buffer too: stale-memory exposure confined
+    # to frame 0 must also be caught (reference `fuzz/fuzzers/diff.rs`).
+    buf = np.full(65535 * 8, marker, dtype=np.int32)
     for _ in range(max_blocks):
         if buf is not None:
             buf[:] = marker  # poison the recycled buffer

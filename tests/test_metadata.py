@@ -50,8 +50,11 @@ def test_repeated_vorbis_comment(testsamples):
     # Names need not be unique; repeated tags are all preserved.
     r = FlacReader.open(testsamples / "repeated_vorbis_comment.flac")
     tags = list(r.tags())
-    names = [n for n, _ in tags]
-    assert len(names) == len(tags)
+    names = [n.upper() for n, _ in tags]
+    # Repeated names must NOT be deduplicated: some name appears twice.
+    assert len(set(names)) < len(names)
+    dup = max(set(names), key=names.count)
+    assert len(list(r.get_tag(dup))) == names.count(dup) >= 2
 
 
 def _vorbis_block(vendor=b"v", comments=()):

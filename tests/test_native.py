@@ -95,9 +95,8 @@ def test_native_scalar_decode_generated():
     pcm = synth_music(9000, channels=2, bps=24, seed=41)
     data = encode_flac(pcm, 96000, 24, block_size=2048)
     si, out = native.decode_stream_scalar(data)
-    assert np.array_equal(out.ravel(), np.asarray(pcm).T.ravel()
-                          if np.asarray(pcm).ndim == 2 and
-                          np.asarray(pcm).shape[0] == 2 else out.ravel())
+    # Ground truth: the encoder's input PCM, shape (n, channels).
+    assert np.array_equal(out, np.asarray(pcm))
     scalar = interleave(decode_all_blocks(FlacReader(data)))
     assert np.array_equal(out, scalar)
 
@@ -152,13 +151,50 @@ def test_native_error_parity(mutate):
     assert n_exc == p_exc and n_exc[0] is not None, (mutate, n_exc, p_exc)
 
 
+def build_escape_partition_stream():
+    """Hand-assemble a stream whose first partition uses the Rice escape
+    code (param all-ones = unencoded binary), which the reference reports
+    as Unsupported (`src/subframe.rs:317-319`)."""
+    import struct
+    from claxon_tpu.crc import crc8, crc16
+    from claxon_tpu.testing.flacgen import BitWriter
+
+    si = BitWriter()
+    si.write(16, 16)        # min block size
+    si.write(16, 16)        # max block size
+    si.write(0, 24)         # min frame size unknown
+    si.write(0, 24)         # max frame size unknown
+    si.write(44100, 20)     # sample rate
+    si.write(0, 3)          # channels - 1
+    si.write(15, 5)         # bps - 1
+    si.write(0, 36)         # total samples unknown
+    streaminfo = (bytes([0x80]) + (34).to_bytes(3, "big") +
+                  si.getvalue() + b"\x00" * 16)
+
+    fh = bytearray([0xFF, 0xF8,       # sync, fixed blocking
+                    0b0110_1001,      # 8-bit block size follows; 44.1 kHz
+                    0b0000_1000])     # 1 channel, 16 bps, reserved 0
+    fh += bytes([0])                  # frame number 0 (utf8-style)
+    fh += bytes([16 - 1])             # 8-bit block size - 1
+    fh.append(crc8(bytes(fh)))
+
+    sub = BitWriter()
+    sub.write(0, 1)                   # padding bit
+    sub.write(0b001000, 6)            # FIXED order 0
+    sub.write(0, 1)                   # no wasted bits
+    sub.write(0, 2)                   # residual method: Rice (4-bit params)
+    sub.write(0, 4)                   # partition order 0
+    sub.write(0b1111, 4)              # ESCAPE: unencoded binary
+    sub.align()
+    frame = bytes(fh) + sub.getvalue()
+    frame += struct.pack(">H", crc16(frame))
+    return b"fLaC" + streaminfo + frame
+
+
 def test_native_unsupported_escape_partition():
-    # Hand-build a frame with the Rice escape code (rice_param all-ones):
-    # the reference reports Unsupported (`src/subframe.rs:317-319`).
-    pcm = synth_music(512, channels=1, bps=16, seed=71)
-    data = encode_flac(pcm, 44100, 16, force_subframe="verbatim")
-    # Verbatim avoids residuals entirely; instead test via generated escape
-    # support in the encoder if present, else skip.
+    data = build_escape_partition_stream()
     n_exc = _exc_of(native.extract_stream, data)
     p_exc = _exc_of(extract_stream, data)
     assert n_exc == p_exc
+    assert n_exc[0] is Unsupported
+    assert "unencoded binary" in n_exc[1]

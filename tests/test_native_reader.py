@@ -54,6 +54,7 @@ def test_native_reader_matches_python(buffer_size):
     buffered = BufferedReader(io.BytesIO(data[off:]),
                               buffer_size=buffer_size)
     nat2 = all_blocks(buffered, True)
+    assert len(nat2) == len(py)
     for (ta, a), (tb, b) in zip(nat2, py):
         assert ta == tb and np.array_equal(a, b)
 

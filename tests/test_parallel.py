@@ -82,5 +82,6 @@ def test_decode_streams_sharded():
                          44100, 16, block_size=1024) for s in (31, 32, 33)]
     sharded = decode_streams_sharded(datas, make_mesh(8))
     single = decode_streams(datas)
+    assert len(sharded) == len(single) == len(datas)
     for a, b in zip(sharded, single):
         assert np.array_equal(a.pcm, b.pcm)

@@ -166,21 +166,11 @@ def test_buffer_poisoning_determinism(testsamples):
         assert np.array_equal(x, y)
 
 
-def test_fuzz_regression_corpus(testsamples):
-    """Replay the reference's committed fuzzer crash files: decoding must
-    terminate with a clean result or a claxon_tpu Error -- never any other
-    exception (reference `tests/testsamples.rs:498-540`)."""
-    fuzz_dir = testsamples / "fuzz"
-    files = sorted(fuzz_dir.glob("*.flac"))
-    assert len(files) >= 20
-    for f in files:
-        data = f.read_bytes()
-        try:
-            r = FlacReader(data)
-            for _ in r.samples():
-                pass
-        except Error:
-            pass  # malformed input must fail cleanly
+def test_fuzz_corpus_present(testsamples):
+    """The committed fuzzer crash corpus must exist; its per-file replay
+    lives in tests/test_fuzz_regression.py (parametrized, so a failure
+    names the exact file)."""
+    assert len(sorted((testsamples / "fuzz").glob("*.flac"))) >= 20
 
 
 def test_into_inner(testsamples):

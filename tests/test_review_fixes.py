@@ -93,8 +93,7 @@ def test_padding_never_trips_int16_flag():
 
     # Loud near-full-scale signal with a tail frame: extrapolation beyond
     # the tail would blow past int16 within the padding.
-    pcm = (synth_music(10000, channels=2, bps=16, seed=91) * 0 +
-           np.linspace(20000, 32000, 20000).astype(np.int64).reshape(10000, 2))
+    pcm = np.linspace(20000, 32000, 20000).astype(np.int64).reshape(10000, 2)
     data = encode_flac(pcm, 44100, 16, block_size=4096)
     dev = decode_streams_device([data]).block_until_ready()
     for d in dev.dispatches:
