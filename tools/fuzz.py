@@ -88,6 +88,24 @@ def outcome_python(data):
         return (type(e).__name__, str(e))
 
 
+def outcome_header_only(data):
+    """The reference's decode_header target: constructor only."""
+    try:
+        FlacReader(data)
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__, str(e))
+
+
+def outcome_single_block(data):
+    """The reference's decode_single_block target: one block."""
+    try:
+        FlacReader(data).blocks().read_next_or_eof()
+        return ("ok",)
+    except Error as e:
+        return (type(e).__name__, str(e))
+
+
 def outcome_native(data):
     try:
         native.extract_stream(data)
@@ -195,6 +213,12 @@ def run(seconds=60, seed=0):
                 continue
             if kind == 7:  # MP4 container path
                 outcome_container(data, mp4_decoder)
+                continue
+            if kind == 4:  # decode_header analog: constructor only
+                outcome_header_only(data)
+                continue
+            if kind == 3:  # decode_single_block analog
+                outcome_single_block(data)
                 continue
             py = outcome_python(data)
             if kind == 5:  # buffer-poisoning determinism (diff fuzzer)
