@@ -21,7 +21,8 @@ from ..metadata import read_flac_metadata
 from .build import ensure_built
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
-           "extract_frames", "decode_stream_scalar"]
+           "extract_frames", "decode_frames_limited", "decode_stream_scalar",
+           "has_pack_helpers", "rows_to_i16", "minmax"]
 
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
@@ -29,45 +30,52 @@ SUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
                       ("pad", "<i4"), ("coefs", "<i4", (32,))])
 
 _lib = None
+_load_failed = False  # negative cache: never retry a doomed build/load
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     path = ensure_built()
     if path is None:
+        _load_failed = True
         return None
     try:
         lib = ctypes.CDLL(str(path))
-    except OSError:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.cxt_extract.restype = ctypes.c_void_p
+        lib.cxt_extract.argtypes = [u8p, ctypes.c_uint64,
+                                    ctypes.POINTER(ctypes.c_int32),
+                                    ctypes.c_char_p, ctypes.c_uint64]
+        lib.cxt_decode.restype = ctypes.c_void_p
+        lib.cxt_decode.argtypes = lib.cxt_extract.argtypes
+        lib.cxt_decode_limited.restype = ctypes.c_void_p
+        lib.cxt_decode_limited.argtypes = [u8p, ctypes.c_uint64,
+                                           ctypes.c_int64,
+                                           ctypes.POINTER(ctypes.c_uint64),
+                                           ctypes.POINTER(ctypes.c_int32),
+                                           ctypes.c_char_p, ctypes.c_uint64]
+        lib.cxt_extract_limited.restype = ctypes.c_void_p
+        lib.cxt_extract_limited.argtypes = lib.cxt_decode_limited.argtypes
+        for name in ("cxt_n_frames", "cxt_n_subframes",
+                     "cxt_n_lane_samples", "cxt_pcm_len"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_uint64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.cxt_fill.restype = None
+        lib.cxt_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+        lib.cxt_pcm_fill.restype = None
+        lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.cxt_free.restype = None
+        lib.cxt_free.argtypes = [ctypes.c_void_p]
+    except (OSError, AttributeError):
+        # Unloadable or missing a required symbol (stale prebuilt .so):
+        # the documented contract is available() -> False, Python fallback.
+        _load_failed = True
         return None
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.cxt_extract.restype = ctypes.c_void_p
-    lib.cxt_extract.argtypes = [u8p, ctypes.c_uint64,
-                                ctypes.POINTER(ctypes.c_int32),
-                                ctypes.c_char_p, ctypes.c_uint64]
-    lib.cxt_decode.restype = ctypes.c_void_p
-    lib.cxt_decode.argtypes = lib.cxt_extract.argtypes
-    lib.cxt_decode_limited.restype = ctypes.c_void_p
-    lib.cxt_decode_limited.argtypes = [u8p, ctypes.c_uint64,
-                                       ctypes.c_int64,
-                                       ctypes.POINTER(ctypes.c_uint64),
-                                       ctypes.POINTER(ctypes.c_int32),
-                                       ctypes.c_char_p, ctypes.c_uint64]
-    lib.cxt_extract_limited.restype = ctypes.c_void_p
-    lib.cxt_extract_limited.argtypes = lib.cxt_decode_limited.argtypes
-    for name in ("cxt_n_frames", "cxt_n_subframes", "cxt_n_lane_samples",
-                 "cxt_pcm_len"):
-        fn = getattr(lib, name)
-        fn.restype = ctypes.c_uint64
-        fn.argtypes = [ctypes.c_void_p]
-    lib.cxt_fill.restype = None
-    lib.cxt_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
-    lib.cxt_pcm_fill.restype = None
-    lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-    lib.cxt_free.restype = None
-    lib.cxt_free.argtypes = [ctypes.c_void_p]
     try:  # newer helpers; a stale .so just loses the fast-pack path
         lib.cxt_rows_to_i16.restype = None
         lib.cxt_rows_to_i16.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -89,7 +97,25 @@ def available():
     return _load() is not None
 
 
+def _require():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "the claxon_tpu native core is not available (build failed, "
+            "disabled, or unloadable); check python -m "
+            "claxon_tpu.native.build, or use the pure-Python paths")
+    return lib
+
+
 _ERRORS = {1: FormatError, 2: Unsupported, 3: IoError}
+
+
+def _checked(h, err, msg):
+    """Map a null handle to the claxon error indicated by err/msg."""
+    if not h:
+        raise _ERRORS.get(err.value, RuntimeError)(
+            msg.value.decode("utf-8", "replace"))
+    return h
 
 
 def _call(fn, data):
@@ -97,12 +123,9 @@ def _call(fn, data):
     buf = np.frombuffer(data, dtype=np.uint8)
     err = ctypes.c_int32(0)
     msg = ctypes.create_string_buffer(256)
-    h = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+    h = fn(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
            ctypes.byref(err), msg, 256)
-    if not h:
-        text = msg.value.decode("utf-8", "replace")
-        raise _ERRORS.get(err.value, RuntimeError)(text)
-    return h
+    return _checked(h, err, msg)
 
 
 def _read_metadata(data):
@@ -124,8 +147,7 @@ def extract_frames_raw(payload, max_frames=None):
     samples array holds each lane's block (warm-up ++ residuals)
     consecutively, frame-major, channel-minor. ``max_frames`` bounds the
     parse (container chunks hold a known frame count followed by slack)."""
-    lib = _load()
-    payload = bytes(payload)
+    lib = _require()
     if max_frames is None:
         h = _call(lib.cxt_extract, payload)
     else:
@@ -136,9 +158,7 @@ def extract_frames_raw(payload, max_frames=None):
         h = lib.cxt_extract_limited(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
             max_frames, ctypes.byref(consumed), ctypes.byref(err), msg, 256)
-        if not h:
-            raise _ERRORS.get(err.value, RuntimeError)(
-                msg.value.decode("utf-8", "replace"))
+        _checked(h, err, msg)
     try:
         n_frames = lib.cxt_n_frames(h)
         n_subs = lib.cxt_n_subframes(h)
@@ -158,7 +178,7 @@ def extract_stream_raw(data):
     the zero-object fast path consumed by ``claxon_tpu.pipeline``."""
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
-    return (streaminfo,) + extract_frames_raw(data[pos:])
+    return (streaminfo,) + extract_frames_raw(memoryview(data)[pos:])
 
 
 def extract_frames(payload, max_frames=None):
@@ -204,7 +224,7 @@ def extract_stream(data):
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
     return StreamBatch(streaminfo=streaminfo,
-                       frames=extract_frames(data[pos:]))
+                       frames=extract_frames(memoryview(data)[pos:]))
 
 
 def decode_frames_limited(payload, max_frames=1):
@@ -217,7 +237,7 @@ def decode_frames_limited(payload, max_frames=1):
     streaming caller can retry with a larger window after an ``IoError``
     (the mid-frame EOF signal). The FrameReader fast path.
     """
-    lib = _load()
+    lib = _require()
     buf = np.frombuffer(payload, dtype=np.uint8)
     err = ctypes.c_int32(0)
     consumed = ctypes.c_uint64(0)
@@ -225,9 +245,7 @@ def decode_frames_limited(payload, max_frames=1):
     h = lib.cxt_decode_limited(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
         max_frames, ctypes.byref(consumed), ctypes.byref(err), msg, 256)
-    if not h:
-        raise _ERRORS.get(err.value, RuntimeError)(
-            msg.value.decode("utf-8", "replace"))
+    _checked(h, err, msg)
     try:
         n_frames = lib.cxt_n_frames(h)
         frames_buf = np.empty(n_frames, dtype=FRAME_DTYPE)
@@ -248,8 +266,13 @@ def has_pack_helpers():
 def rows_to_i16(src, n_rows, bs, dst16, lane0):
     """Fused copy-convert: ``n_rows`` rows of ``bs`` int32 samples from the
     contiguous ``src`` (1-D int32) into rows [lane0, lane0+n_rows) of the
-    2-D int16 array ``dst16``. Values must already fit int16."""
-    lib = _load()
+    C-contiguous 2-D int16 array ``dst16``. Values must already fit
+    int16."""
+    lib = _require()
+    assert src.dtype == np.int32 and src.flags.c_contiguous
+    assert dst16.dtype == np.int16 and dst16.flags.c_contiguous
+    assert 0 <= lane0 and lane0 + n_rows <= dst16.shape[0]
+    assert bs <= dst16.shape[1] and n_rows * bs <= src.size
     lib.cxt_rows_to_i16(src.ctypes.data, n_rows, bs, dst16.ctypes.data,
                         dst16.shape[1], lane0)
 
@@ -257,7 +280,8 @@ def rows_to_i16(src, n_rows, bs, dst16, lane0):
 def minmax(arr):
     """(min, max) over a contiguous int32 array, including 0 (single C
     pass; the int16-input packing decision)."""
-    lib = _load()
+    lib = _require()
+    assert arr.dtype == np.int32 and arr.flags.c_contiguous
     mn = ctypes.c_int32(0)
     mx = ctypes.c_int32(0)
     lib.cxt_minmax(arr.ctypes.data, arr.size, ctypes.byref(mn),
@@ -272,10 +296,10 @@ def decode_stream_scalar(data):
     The scalar oracle / low-latency path; bit-exact with the device
     pipeline and the Python host decoder.
     """
-    lib = _load()
+    lib = _require()
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
-    h = _call(lib.cxt_decode, data[pos:])
+    h = _call(lib.cxt_decode, memoryview(data)[pos:])
     try:
         n_frames = lib.cxt_n_frames(h)
         frames_buf = np.empty(n_frames, dtype=FRAME_DTYPE)

@@ -33,20 +33,29 @@ def build(verbose=True, ubsan=False):
             ["-O3", "-std=c++17", "-fPIC", "-shared"],  # fallback: portable
         ]
     out = LIB_UBSAN if ubsan else LIB
+    # Compile to a per-process temp file and atomically rename: concurrent
+    # builders never expose a half-written .so, and a process that already
+    # dlopen'ed the old file keeps its mapping (the inode lives on).
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
     last_err = None
-    for flags in flag_sets:
-        cmd = ["g++", *flags, str(SRC), "-o", str(out)]
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=300)
-        except (OSError, subprocess.TimeoutExpired) as e:
-            last_err = str(e)
-            continue
-        if proc.returncode == 0:
-            if verbose:
-                print(f"built {out}", file=sys.stderr)
-            return out
-        last_err = proc.stderr
+    try:
+        for flags in flag_sets:
+            cmd = ["g++", *flags, str(SRC), "-o", str(tmp)]
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=300)
+            except (OSError, subprocess.TimeoutExpired) as e:
+                last_err = str(e)
+                continue
+            if proc.returncode == 0:
+                os.replace(tmp, out)
+                if verbose:
+                    print(f"built {out}", file=sys.stderr)
+                return out
+            last_err = proc.stderr
+    finally:
+        if tmp.exists():
+            tmp.unlink()
     raise RuntimeError(f"g++ failed to build {SRC}:\n{last_err}")
 
 
@@ -61,11 +70,18 @@ def ensure_built():
     if os.environ.get("CLAXON_TPU_NO_BUILD"):
         return lib if lib.exists() else None
     try:
-        if not lib.exists() or lib.stat().st_mtime < SRC.stat().st_mtime:
-            build(verbose=False, ubsan=ubsan)
+        stale = (not lib.exists() or
+                 (SRC.exists() and lib.stat().st_mtime < SRC.stat().st_mtime))
+    except OSError:
+        stale = not lib.exists()
+    if not stale:
+        return lib
+    try:
+        build(verbose=False, ubsan=ubsan)
         return lib
     except Exception:
-        return None
+        # A working (if stale) library beats the 10x-slower Python path.
+        return lib if lib.exists() else None
 
 
 if __name__ == "__main__":
