@@ -59,6 +59,7 @@ class BitWriter:
 def _utf8_like(value):
     """Encode the frame/sample number in the spec's UTF-8-style coding
     (up to 36 bits, up to 7 bytes)."""
+    assert 0 <= value < (1 << 36), "frame/sample number exceeds 36 bits"
     if value < 0x80:
         return bytes([value])
     for total in range(2, 8):
@@ -171,7 +172,7 @@ def _encode_residual(bw, resid, block_size, order, partition_order, rice2):
         for v in chunk:
             u = _zigzag(int(v))
             bw.write_unary(u >> param)
-            bw.write(u, param) if param else None
+            bw.write(u, param)
 
 
 def _encode_subframe(bw, samples, bps, force=None, max_lpc_order=8,
@@ -236,9 +237,10 @@ def _encode_subframe(bw, samples, bps, force=None, max_lpc_order=8,
     assert kind == "lpc"
     order = min(max_lpc_order, 32, n - 1)
     quant = None
-    cf = _lpc_coefficients(x, order)
-    if cf is not None:
-        quant = _quantize_lpc(cf, lpc_precision)
+    if order >= 1:
+        cf = _lpc_coefficients(x, order)
+        if cf is not None:
+            quant = _quantize_lpc(cf, lpc_precision)
     if quant is None:
         # Degenerate signal: fall back to fixed order 1.
         _encode_subframe(bw, samples, bps, force="fixed",
@@ -276,7 +278,8 @@ def encode_flac(pcm, sample_rate, bps, block_size=4096, stereo="auto",
     n, channels = pcm.shape
     assert 1 <= channels <= 8
     lim = 1 << (bps - 1)
-    assert pcm.min() >= -lim and pcm.max() < lim, "pcm exceeds bps range"
+    if n:
+        assert pcm.min() >= -lim and pcm.max() < lim, "pcm exceeds bps range"
     pcm = pcm.astype(np.int64)
 
     # ---- audio frames ----
@@ -295,10 +298,14 @@ def encode_flac(pcm, sample_rate, bps, block_size=4096, stereo="auto",
         frames += fr
         min_fs = len(fr) if min_fs is None else min(min_fs, len(fr))
         max_fs = len(fr) if max_fs is None else max(max_fs, len(fr))
-        min_bs = bs if min_bs is None else min(min_bs, bs)
-        max_bs = bs if max_bs is None else max(max_bs, bs)
+        # Spec (RFC 9639): min/max block size EXCLUDE the short last block.
+        if pos + bs < n or bs == block_size:
+            min_bs = bs if min_bs is None else min(min_bs, bs)
+            max_bs = bs if max_bs is None else max(max_bs, bs)
         pos += bs
         frame_number += 1
+        if not variable_blocking:
+            assert frame_number <= 0x7FFFFFFF, "frame number exceeds 31 bits"
 
     # ---- MD5 of the unencoded PCM ----
     nbytes = (bps + 7) // 8
@@ -321,15 +328,20 @@ def encode_flac(pcm, sample_rate, bps, block_size=4096, stereo="auto",
     blocks.append((0, bytes(si)))
 
     if seektable_points:
+        # Placeholder seek points (sample number all-ones) are the spec's
+        # way to reserve table space without claiming real offsets; the
+        # decoder under test skips SEEKTABLE either way.
         st = bytearray()
-        for i in range(seektable_points):
-            st += struct.pack(">QQH", i * block_size, 0, block_size)
+        for _ in range(seektable_points):
+            st += struct.pack(">QQH", 0xFFFFFFFFFFFFFFFF, 0, 0)
         blocks.append((3, bytes(st)))
 
     if application is not None:
         app_id, app_data = application
         blocks.append((2, struct.pack(">I", app_id) + app_data))
 
+    if vendor is None and tags:
+        vendor = ""  # tags require a Vorbis comment block; empty vendor
     if vendor is not None:
         vc = struct.pack("<I", len(vendor.encode())) + vendor.encode()
         vc += struct.pack("<I", len(tags))

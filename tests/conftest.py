@@ -20,7 +20,7 @@ import pathlib
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
-if not os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE"):
+if os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE", "0").lower() in ("", "0", "false", "no"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         # Read when the CPU PJRT client initializes (first use), so setting

@@ -193,6 +193,7 @@ def test_device_decode_api():
     assert buckets and all(b[2].dtype.name == "int32" for b in buckets)
     host = dev.to_host()
     direct = decode_streams(datas)
+    assert len(host) == len(direct) == len(datas)
     for a, b in zip(host, direct):
         assert np.array_equal(a.pcm, b.pcm)
 

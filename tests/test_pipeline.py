@@ -97,6 +97,7 @@ def test_raw_path_matches_object_path():
     via_raw = decode_raw_batches_device(raws).to_host()
     via_obj = decode_batches_device(
         [extract_stream(d) for d in cases]).to_host()
+    assert len(via_raw) == len(via_obj) == len(cases)
     for a, b in zip(via_raw, via_obj):
         assert np.array_equal(a.pcm, b.pcm)
         assert a.frame_times == b.frame_times
