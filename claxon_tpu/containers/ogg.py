@@ -110,10 +110,25 @@ class OggPacketReader:
             # Lost continuation; drop the stale partial packet.
             self._partial = bytearray()
 
+        drop_tail = 0
+        if continued and not self._partial and not self._segments:
+            # Orphaned continuation (e.g. interleaved pages of another
+            # serial split the packet): the leading segments up to and
+            # including the first packet terminator belong to a packet
+            # whose head we never saw -- discard them instead of gluing
+            # them onto the next packet.
+            drop_tail = len(lacing)  # no terminator: the whole page is tail
+            for i, lace in enumerate(lacing):
+                if lace < 255:
+                    drop_tail = i + 1
+                    break
+
         pos = 0
         for i, lace in enumerate(lacing):
             seg = body[pos:pos + lace]
             pos += lace
+            if i < drop_tail:
+                continue
             self._segments.append((seg, lace < 255))
         # A page ending with a 255 lace leaves the packet open for the next
         # page (handled naturally by the queue).

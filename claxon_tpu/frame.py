@@ -135,7 +135,8 @@ def read_frame_header_or_eof(input):
     elif sr_code == 0b1110:
         read_16bit_sr_ten = True
     else:
-        # 1111 is invalid to prevent sync-fooling.
+        # Code 1111 is disallowed so a header byte cannot mimic the sync
+        # pattern.
         fmt_err("invalid frame header")
 
     # 4 bits channel assignment, 3 bits sample size, 1 reserved bit.

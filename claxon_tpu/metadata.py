@@ -200,7 +200,7 @@ def read_metadata_block(input, block_type, length):
     FLAC Specific Box). Reference dispatch: `src/metadata.rs:260-319`.
     """
     if block_type == 0:
-        # The streaminfo block has a fixed size of 34 bytes.
+        # STREAMINFO payloads are always exactly 34 bytes long.
         if length != 34:
             fmt_err("invalid streaminfo metadata block length")
         return MetadataBlock("streaminfo", streaminfo=read_streaminfo_block(input))

@@ -24,6 +24,10 @@ __all__ = ["available", "extract_stream", "extract_stream_raw",
            "extract_frames", "decode_frames_limited", "decode_stream_scalar",
            "has_pack_helpers", "rows_to_i16", "minmax"]
 
+#: Expected cxt_abi_version() of the loaded .so; must move in lockstep with
+#: any change to the C-ABI struct layouts below.
+ABI_VERSION = 1
+
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
 SUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
@@ -71,6 +75,13 @@ def _load():
         lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.cxt_free.restype = None
         lib.cxt_free.argtypes = [ctypes.c_void_p]
+        # A stale .so whose symbols still resolve but whose struct layouts
+        # differ would corrupt memory in cxt_fill; the ABI version gate
+        # turns that into the documented available() -> False fallback.
+        lib.cxt_abi_version.restype = ctypes.c_int32
+        lib.cxt_abi_version.argtypes = []
+        if lib.cxt_abi_version() != ABI_VERSION:
+            raise AttributeError("claxon_tpu native ABI version mismatch")
     except (OSError, AttributeError):
         # Unloadable or missing a required symbol (stale prebuilt .so):
         # the documented contract is available() -> False, Python fallback.

@@ -79,9 +79,14 @@ def ensure_built():
     try:
         build(verbose=False, ubsan=ubsan)
         return lib
-    except Exception:
-        # A working (if stale) library beats the 10x-slower Python path.
-        return lib if lib.exists() else None
+    except Exception as e:
+        # A working (if stale) library beats the 10x-slower Python path;
+        # the binding's ABI-version gate rejects it if its layouts drifted.
+        if lib.exists():
+            print(f"claxon_tpu: rebuild of {lib.name} failed ({e}); "
+                  "falling back to the existing library", file=sys.stderr)
+            return lib
+        return None
 
 
 if __name__ == "__main__":

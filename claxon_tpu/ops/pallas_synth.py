@@ -104,9 +104,12 @@ def synthesize_pallas(x, coefs, shifts, orders, lengths=None, chunk=256,
         orders = jnp.pad(orders, (0, lpad))
         lengths = jnp.pad(lengths, (0, lpad))
     Lp = L + lpad
-    BL = min(lane_block, Lp)
-    while Lp % BL:
-        BL -= 128
+    # Largest 128-multiple divisor of Lp that is <= lane_block: stepping
+    # down by 128 from lane_block can degenerate to BL=128 for lane counts
+    # like 4224 (= 33*128); searching the divisors of Lp//128 cannot.
+    units = Lp // 128
+    BL = 128 * max(d for d in range(1, min(lane_block // 128, units) + 1)
+                   if units % d == 0)
 
     # CT must be a whole number of _GROUP-row stores.
     chunk = max(_GROUP, (chunk // _GROUP) * _GROUP)

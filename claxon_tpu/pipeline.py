@@ -285,6 +285,7 @@ class DeviceDecoded:
         channel-minor. Available on both decode paths."""
         if self._raw_plans is not None:
             return [list(p) for p in self._raw_plans[0]]
+        stream_of_pcm = {id(r.pcm): i for i, r in enumerate(self.results)}
         plans = []
         for d in self.dispatches:
             plan = []
@@ -294,8 +295,7 @@ class DeviceDecoded:
                 # targets[fi] = (pcm, offset); recover the stream index by
                 # identity of the pcm array.
                 pcm, off = self.targets[fi]
-                si_idx = next(i for i, r in enumerate(self.results)
-                              if r.pcm is pcm)
+                si_idx = stream_of_pcm[id(pcm)]
                 plan.append((si_idx, off, 1, f.block_size, d.n_ch, lane))
                 lane += d.n_ch
             plans.append(plan)

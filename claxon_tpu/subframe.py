@@ -73,11 +73,11 @@ def read_subframe_header(bits):
     ``"lpc"``. Reference bit layout and reserved patterns:
     `src/subframe.rs:29-91`.
     """
-    # The first bit must be a 0 padding bit.
+    # A subframe header opens with a single zero bit (mandatory padding).
     if bits.read_bit():
         fmt_err("invalid subframe header")
 
-    # Next is a 6-bit subframe type.
+    # Six type bits follow the padding bit.
     n = bits.read_leq_u8(6)
     if n == 0:
         sf_type, order = "constant", 0
@@ -85,11 +85,11 @@ def read_subframe_header(bits):
         sf_type, order = "verbatim", 0
     elif (n & 0b111_110) == 0b000_010 or (n & 0b111_100) == 0b000_100 \
             or (n & 0b110_000) == 0b010_000:
-        # Bit patterns 00001x, 0001xx and 01xxxx are reserved.
+        # The spec reserves the 00001x, 0001xx and 01xxxx encodings.
         fmt_err("invalid subframe header, encountered reserved value")
     elif (n & 0b111_000) == 0b001_000:
         order = n & 0b000_111
-        # A fixed subframe has order up to 4; other patterns are reserved.
+        # Orders above 4 do not exist for fixed subframes (reserved codes).
         if order > 4:
             fmt_err("invalid subframe header, encountered reserved value")
         sf_type = "fixed"

@@ -78,6 +78,32 @@ def test_ogg_large_packet_spanning_pages():
     assert np.array_equal(np.concatenate(parts, axis=0), want)
 
 
+def test_ogg_orphaned_continuation_is_dropped():
+    # A page with the continuation flag set while no partial packet is
+    # pending carries the tail of a packet whose head was never seen
+    # (e.g. after interleaved pages of another serial); those segments
+    # must be discarded, not glued onto the next packet.
+    import struct
+
+    from claxon_tpu.containers.ogg import ogg_page_crc
+
+    def page(serial, seq, segs, htype=0):
+        lacing = b"".join(bytes([l]) for s in segs
+                          for l in [255] * (len(s) // 255) + [len(s) % 255])
+        body = b"".join(segs)
+        hdr = struct.pack("<4sBBqIIIB", b"OggS", 0, htype, 0, serial, seq,
+                          0, len(lacing))
+        pg = hdr + lacing + body
+        return pg[:22] + struct.pack("<I", ogg_page_crc(pg)) + pg[26:]
+
+    data = page(7, 0, [b"AAA"]) + page(7, 1, [b"XX", b"BBB"], htype=1)
+    assert list(OggPacketReader(io.BytesIO(data))) == [b"AAA", b"BBB"]
+    # Consecutive orphan pages: each drops its own leading tail.
+    data = (page(7, 0, [b"AAA"]) + page(7, 1, [b"Y" * 255], htype=1)
+            + page(7, 2, [b"ZZ", b"CCC"], htype=1))
+    assert list(OggPacketReader(io.BytesIO(data))) == [b"AAA", b"CCC"]
+
+
 def test_ogg_crc_detects_corruption():
     ogg = bytearray(mux_ogg_flac(make_flac(n=2000)))
     ogg[len(ogg) // 2] ^= 0xFF
