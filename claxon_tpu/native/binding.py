@@ -21,17 +21,27 @@ from ..metadata import read_flac_metadata
 from .build import ensure_built
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
+           "extract_stream_bits", "extract_frames_bits", "BitsBatch",
            "extract_frames", "decode_frames_limited", "decode_stream_scalar",
            "has_pack_helpers", "rows_to_i16", "minmax"]
 
 #: Expected cxt_abi_version() of the loaded .so; must move in lockstep with
 #: any change to the C-ABI struct layouts below.
-ABI_VERSION = 1
+ABI_VERSION = 2
 
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
 SUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
                       ("pad", "<i4"), ("coefs", "<i4", (32,))])
+# Bits-path records (CxtBFrame / CxtBSub in claxon_demux.cpp).
+BFRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
+                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4"),
+                         ("flags", "<i4"), ("s_class", "<i4"),
+                         ("pad0", "<i4"), ("pad1", "<i4")])
+BSUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
+                       ("n_parts", "<i4"), ("ps", "<i4"), ("n_chunks", "<i4"),
+                       ("pbits", "<i4"), ("flags", "<i4"),
+                       ("coefs", "<i4", (32,)), ("warm", "<i4", (32,))])
 
 _lib = None
 _load_failed = False  # negative cache: never retry a doomed build/load
@@ -75,6 +85,13 @@ def _load():
         lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.cxt_free.restype = None
         lib.cxt_free.argtypes = [ctypes.c_void_p]
+        lib.cxt_extract_bits.restype = ctypes.c_void_p
+        lib.cxt_extract_bits.argtypes = lib.cxt_extract.argtypes
+        lib.cxt_b_counts.restype = None
+        lib.cxt_b_counts.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_uint64)]
+        lib.cxt_b_fill.restype = None
+        lib.cxt_b_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         # A stale .so whose symbols still resolve but whose struct layouts
         # differ would corrupt memory in cxt_fill; the ABI version gate
         # turns that into the documented available() -> False fallback.
@@ -190,6 +207,68 @@ def extract_stream_raw(data):
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
     return (streaminfo,) + extract_frames_raw(memoryview(data)[pos:])
+
+
+class BitsBatch:
+    """Flat bits-path arrays of one stream's frame section.
+
+    ``bframes`` (BFRAME_DTYPE) and ``bsubs`` (BSUB_DTYPE) describe every
+    frame/subframe in stream order. Non-fallback subframes (their frame's
+    ``flags`` bit 0 clear) consume, in lane order:
+
+    * ``deltas``: ``block_size`` bytes each -- per-sample Rice code length
+      ``q + 1 + k`` (0 at warm-up positions);
+    * ``slots``: ``n_chunks * (s_class + 1)`` int32 words each -- the k-bit
+      remainders of the codes at block positions [32c, 32c+32) packed
+      MSB-first from word ``c * (s_class + 1)``;
+    * ``ks``: ``n_parts`` Rice parameters each.
+
+    Fallback frames instead consume ``block_size`` int32 samples per lane
+    from ``samples`` (legacy warm-up ++ residuals layout).
+    """
+
+    __slots__ = ("bframes", "bsubs", "deltas", "slots", "ks", "samples")
+
+    def __init__(self, bframes, bsubs, deltas, slots, ks, samples):
+        self.bframes = bframes
+        self.bsubs = bsubs
+        self.deltas = deltas
+        self.slots = slots
+        self.ks = ks
+        self.samples = samples
+
+
+def extract_frames_bits(payload):
+    """Bits-path extraction of a stream's frame section (positioned at the
+    first frame byte): the boundary-only C++ walk (walk_stream_bits in
+    claxon_demux.cpp) that ships residual *bits* instead of decoded
+    samples. Returns a BitsBatch."""
+    lib = _require()
+    h = _call(lib.cxt_extract_bits, payload)
+    try:
+        counts = (ctypes.c_uint64 * 6)()
+        lib.cxt_b_counts(h, counts)
+        nf, ns, nd, nw, nk, nx = (int(c) for c in counts)
+        bframes = np.empty(nf, dtype=BFRAME_DTYPE)
+        bsubs = np.empty(ns, dtype=BSUB_DTYPE)
+        deltas = np.empty(nd, dtype=np.uint8)
+        slots = np.empty(nw, dtype=np.int32)
+        ks = np.empty(nk, dtype=np.int32)
+        samples = np.empty(nx, dtype=np.int32)
+        lib.cxt_b_fill(h, bframes.ctypes.data, bsubs.ctypes.data,
+                       deltas.ctypes.data, slots.ctypes.data,
+                       ks.ctypes.data, samples.ctypes.data)
+    finally:
+        lib.cxt_free(h)
+    return BitsBatch(bframes, bsubs, deltas, slots, ks, samples)
+
+
+def extract_stream_bits(data):
+    """(streaminfo, BitsBatch) for a whole stream -- the production
+    zero-residual-materialization path consumed by claxon_tpu.pipeline."""
+    data = bytes(data)
+    streaminfo, pos = _read_metadata(data)
+    return streaminfo, extract_frames_bits(memoryview(data)[pos:])
 
 
 def extract_frames(payload, max_frames=None):

@@ -22,7 +22,9 @@
 
 #include <cstdint>
 #include <algorithm>
+#include <cstdlib>
 #include <cstring>
+#include <new>
 #include <string>
 #include <vector>
 
@@ -32,6 +34,35 @@
 struct CxtFrame {
   int64_t time;
   int32_t block_size, channels, mode, bps;
+};
+
+// Bits-path per-frame record (BFRAME_DTYPE in binding.py). flags bit 0
+// marks a fallback frame whose subframes carry decoded samples (legacy
+// layout) instead of deltas/slots. s_class is the frame-uniform slot size
+// in words per 32-sample chunk (both channels share it so a stereo pair
+// always lands in one device bucket).
+struct CxtBFrame {
+  int64_t time;
+  int32_t block_size, channels, mode, bps;
+  int32_t flags, s_class, pad0, pad1;
+};
+
+// Bits-path per-subframe record (BSUB_DTYPE in binding.py). For normal
+// frames the residual stream is described by (a) one byte per sample
+// ("deltas": the end-to-end bit distance from the previous code's end --
+// unary + terminator + remainder, plus the Rice parameter preceding a
+// partition's first code; 0 at warm-up positions) and (b) the raw
+// residual-section bits, re-sliced into fixed-stride slots of
+// (s_class + 1) words per 32-sample chunk, each chunk's bits starting
+// word-aligned. That layout lets the TPU kernel reconstruct every residual
+// with no gather and no scan (ops/entropy.py): the cumulative delta locates
+// each code's end, q = delta - 1 - k (- pbits at a partition's first code),
+// and the remainder is the k bits before the end.
+struct CxtBSub {
+  int32_t order, shift, wasted, n_parts;  // n_parts == 0: fallback lane
+  int32_t ps, n_chunks, pbits, flags;     // flags bit 0: verbatim lane
+  int32_t coefs[32];  // left-padded like SubDesc
+  int32_t warm[32];   // warm-up sample values ([0, order))
 };
 
 namespace {
@@ -54,7 +85,7 @@ struct Err {
 
 struct CrcTables {
   uint8_t crc8[256];
-  uint16_t crc16[256];
+  uint16_t crc16[8][256];  // crc16[j][b]: CRC of byte b then j zero bytes
   CrcTables() {
     for (int b = 0; b < 256; ++b) {
       uint32_t c8 = b;
@@ -64,8 +95,13 @@ struct CrcTables {
         c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
       }
       crc8[b] = (uint8_t)c8;
-      crc16[b] = (uint16_t)c16;
+      crc16[0][b] = (uint16_t)c16;
     }
+    for (int j = 1; j < 8; ++j)
+      for (int b = 0; b < 256; ++b) {
+        uint16_t c = crc16[j - 1][b];  // advance one zero byte
+        crc16[j][b] = crc16[0][c >> 8] ^ (uint16_t)(c << 8);
+      }
   }
 };
 const CrcTables kCrc;
@@ -76,9 +112,20 @@ uint8_t crc8_range(const uint8_t* p, const uint8_t* end) {
   return crc;
 }
 
+// Slice-by-8 CRC-16 (same polynomial/semantics as the reference's
+// byte-table loop, claxon `src/crc.rs:33-57`; just 8 bytes per step).
 uint16_t crc16_range(const uint8_t* p, const uint8_t* end) {
   uint16_t crc = 0;
-  for (; p < end; ++p) crc = kCrc.crc16[(crc >> 8) ^ *p] ^ (uint16_t)(crc << 8);
+  while (end - p >= 8) {
+    crc = kCrc.crc16[7][p[0] ^ (crc >> 8)] ^
+          kCrc.crc16[6][p[1] ^ (crc & 0xFF)] ^
+          kCrc.crc16[5][p[2]] ^ kCrc.crc16[4][p[3]] ^
+          kCrc.crc16[3][p[4]] ^ kCrc.crc16[2][p[5]] ^
+          kCrc.crc16[1][p[6]] ^ kCrc.crc16[0][p[7]];
+    p += 8;
+  }
+  for (; p < end; ++p)
+    crc = kCrc.crc16[0][(crc >> 8) ^ *p] ^ (uint16_t)(crc << 8);
   return crc;
 }
 
@@ -169,6 +216,11 @@ struct Bits {
   // Byte offset from `base` of the next unconsumed byte; valid only when
   // byte-aligned.
   inline size_t bytepos() const { return (size_t)(p - base) - (size_t)(n / 8); }
+
+  // Absolute bit offset from `base` of the next unconsumed bit.
+  inline uint64_t bitpos() const {
+    return ((uint64_t)(p - base) << 3) - (uint64_t)n;
+  }
 
   inline uint32_t read_u8() { return read(8); }
   inline uint32_t read_be_u16() { return read(16); }
@@ -478,6 +530,284 @@ void parse_subframe(Bits& b, int bps, int64_t block_size, int32_t* buf,
 }
 
 // ---------------------------------------------------------------------------
+// Bits-path walker: boundary-only residual scan (SURVEY.md section 7
+// "throughput work": drop the host's per-sample value materialization).
+// The host walks the Rice codes exactly like the sample path -- it must, to
+// segment the stream -- but instead of decoding, it emits (a) one
+// code-length byte per sample and (b) the raw remainders re-packed into
+// fixed-stride chunk slots; the TPU reconstructs every residual from those
+// in parallel (claxon `src/subframe.rs:309-351` semantics live in
+// ops/entropy.py on the device side).
+
+constexpr int64_t kPCap = 64;  // partitions beyond this: sample path
+constexpr int kSClasses[5] = {4, 8, 16, 32, 64};  // slot words per chunk
+
+// Copy nbits starting at absolute bit src_bit of the byte stream into
+// word-aligned dst, MSB-first (the device kernel's bit order: slot bit i
+// lives in word[i >> 5] at bit 31 - (i & 31)). Reads clamp at src_len.
+void copy_bits_from_bytes(const uint8_t* src, size_t src_len,
+                          uint64_t src_bit, uint32_t* dst, uint64_t nbits) {
+  for (uint64_t done = 0; done < nbits; done += 32, src_bit += 32) {
+    size_t byte = (size_t)(src_bit >> 3);
+    uint64_t w = 0;
+    if (__builtin_expect(byte + 8 <= src_len, 1)) {
+      std::memcpy(&w, src + byte, 8);
+      w = __builtin_bswap64(w);
+    } else {
+      for (size_t i = 0; i < 8 && byte + i < src_len; ++i)
+        w |= (uint64_t)src[byte + i] << (56 - 8 * i);
+    }
+    uint32_t v = (uint32_t)((w << (src_bit & 7)) >> 32);
+    uint64_t rem = nbits - done;
+    if (rem < 32) v &= ~0u << (32 - rem);
+    *dst++ = v;
+  }
+}
+
+// Growable word buffer whose growth does NOT zero-initialize (the slot
+// buffer is large and mostly overwritten; padding words beyond each
+// chunk's copied span are never read into any decoded output -- the
+// kernel masks to the k bits inside the span -- so zeroing them would be
+// a pure memset tax).
+struct RawWords {
+  uint32_t* data = nullptr;
+  size_t size = 0, cap = 0;
+  ~RawWords() { std::free(data); }
+  RawWords() = default;
+  RawWords(const RawWords&) = delete;
+  RawWords& operator=(const RawWords&) = delete;
+
+  inline uint32_t* extend(size_t n) {
+    if (size + n > cap) {
+      cap = std::max(cap * 2, size + n + 65536);
+      void* p = std::realloc(data, cap * sizeof(uint32_t));
+      if (!p) throw std::bad_alloc();
+      data = (uint32_t*)p;
+    }
+    uint32_t* out = data + size;
+    size += n;
+    return out;
+  }
+};
+
+// Per-subframe scratch: the absolute source bit position where each
+// 32-sample chunk's bits begin (chunk c covers the codes at block
+// positions [32c, 32c + 32), including any Rice parameters read between
+// them). Reused across frames; reset() keeps the vector's capacity.
+struct SubScratch {
+  std::vector<uint64_t> bases;
+  int64_t cur_chunk = -1;
+
+  inline void reset() {
+    bases.clear();
+    cur_chunk = -1;
+  }
+  inline void ensure_chunk(int64_t c, uint64_t pos) {
+    while (cur_chunk < c) {
+      bases.push_back(pos);
+      ++cur_chunk;
+    }
+  }
+  // Close the layout: bases[n_chunks] = end position, so chunk c spans
+  // bases[c+1] - bases[c] bits.
+  void finish(int64_t n_chunks, uint64_t end_pos) {
+    ensure_chunk(n_chunks, end_pos);
+  }
+};
+
+// Scan one subframe's partitioned residual: validate exactly like
+// decode_residual (same order, same messages), emit the per-sample bit
+// gaps, record chunk base positions. Returns false when the frame must
+// take the sample path (too many partitions, a gap wider than the delta
+// byte, or an empty first partition -- whose Rice parameter no code's
+// delta could account for).
+bool scan_residual_bits(Bits& b, int64_t block_size, int order, CxtBSub& d,
+                        SubScratch& sc, std::vector<int32_t>& ks,
+                        uint8_t* deltas) {
+  uint32_t method = b.read(2);
+  bool rice2;
+  if (method == 0) rice2 = false;
+  else if (method == 1) rice2 = true;
+  else fmt_err("invalid residual, encountered reserved value");
+
+  uint32_t po = b.read(4);
+  int64_t n_partitions = (int64_t)1 << po;
+  int64_t per_partition = block_size >> po;
+  if (block_size & (n_partitions - 1)) fmt_err("invalid partition order");
+  if (order > per_partition) fmt_err("invalid residual");
+  if (n_partitions > kPCap) return false;
+  if (order == per_partition) return false;  // empty first partition
+
+  d.n_parts = (int32_t)n_partitions;
+  d.ps = (int32_t)per_partition;
+  int param_bits = rice2 ? 5 : 4;
+  d.pbits = param_bits;
+  int64_t t = order;
+  int64_t len = per_partition - order;
+  for (int64_t p = 0; p < n_partitions; ++p) {
+    // The chunk of this partition's first code must open before the Rice
+    // parameter: the code's delta spans the parameter bits too.
+    sc.ensure_chunk(t >> 5, b.bitpos());
+    uint32_t rice_param = b.read(param_bits);
+    if (rice_param == (uint32_t)((1 << param_bits) - 1))
+      unsupported("unencoded binary is not yet implemented");
+    int k = (int)rice_param;
+    ks.push_back(k);
+    // First code of the partition: delta includes the parameter bits.
+    uint32_t max_q = 254u - (uint32_t)(k + param_bits);
+    int extra = param_bits;
+    for (int64_t i = 0; i < len; ++i, ++t) {
+      // Chunks advance only at 32-sample boundaries (the partition's
+      // first code was ensured above), so the position computation is
+      // off the per-code hot path.
+      if (__builtin_expect((t & 31) == 0, 0))
+        sc.ensure_chunk(t >> 5, b.bitpos());
+      uint32_t q;
+      // Same fast path as decode_rice_partition: one refill covers
+      // quotient + terminator + remainder for virtually every code.
+      if (b.n <= 56) b.refill();
+      if (__builtin_expect(b.acc != 0, 1)) {
+        int z = __builtin_clzll(b.acc);
+        if (__builtin_expect(z + 1 + k <= b.n && z + 1 + k < 64, 1)) {
+          b.acc <<= z + 1 + k;
+          b.n -= z + 1 + k;
+          q = (uint32_t)z;
+        } else {
+          q = b.read_unary();
+          (void)b.read(k);
+        }
+      } else {
+        q = b.read_unary();
+        (void)b.read(k);
+      }
+      if (__builtin_expect(q > max_q, 0)) return false;
+      deltas[t] = (uint8_t)(q + 1 + (uint32_t)(k + extra));
+      if (extra) {
+        max_q += param_bits;
+        extra = 0;
+      }
+    }
+    len = per_partition;
+  }
+  return true;
+}
+
+// Bits-path subframe parse: header/warm-up/coefficients like
+// parse_subframe (identical validation + messages), residuals via
+// scan_residual_bits. CONSTANT becomes an order-1 predictor with
+// coefficient 1 and the value as warm-up (bit-exact: out[t] = out[t-1]).
+// VERBATIM lanes ride the same delta/slot encoding with delta = k = the
+// subframe's bit depth and a flag telling the kernel to sign-extend the
+// k-bit field instead of zig-zag decoding a Rice code.
+// Returns false -> caller reruns the whole frame through the sample path.
+bool parse_subframe_bits(Bits& b, int bps, int64_t block_size, CxtBSub& d,
+                         SubScratch& sc, std::vector<int32_t>& ks,
+                         uint8_t* deltas) {
+  if (b.read_bit()) fmt_err("invalid subframe header");
+  uint32_t n = b.read(6);
+  enum { CONSTANT, VERBATIM, FIXED, LPC } type;
+  int order = 0;
+  if (n == 0) {
+    type = CONSTANT;
+  } else if (n == 1) {
+    type = VERBATIM;
+  } else if ((n & 0x3E) == 0x02 || (n & 0x3C) == 0x04 || (n & 0x30) == 0x10) {
+    fmt_err("invalid subframe header, encountered reserved value");
+    __builtin_unreachable();
+  } else if ((n & 0x38) == 0x08) {
+    order = (int)(n & 0x07);
+    if (order > 4)
+      fmt_err("invalid subframe header, encountered reserved value");
+    type = FIXED;
+  } else {
+    type = LPC;
+    order = (int)(n & 0x1F) + 1;
+  }
+
+  uint32_t wasted_u = 0;
+  if (b.read_bit()) wasted_u = 1 + b.read_unary();
+  if (wasted_u > 31) fmt_err("wasted bits per sample must not exceed 31");
+  int wasted = (int)wasted_u;
+  if (wasted >= bps) fmt_err("subframe has no non-wasted bits");
+  int sf_bps = bps - wasted;
+
+  std::memset(d.coefs, 0, sizeof(d.coefs));
+  std::memset(d.warm, 0, sizeof(d.warm));
+  d.wasted = wasted;
+  d.shift = 0;
+  d.order = 0;
+  d.n_parts = 0;
+  d.ps = 0;
+  d.n_chunks = (int32_t)((block_size + 31) / 32);
+  d.pbits = 0;
+  d.flags = 0;
+
+  switch (type) {
+    case CONSTANT: {
+      int32_t v = extend_sign(b.read(sf_bps), sf_bps);
+      d.order = 1;
+      d.warm[0] = v;
+      d.coefs[31] = 1;
+      d.n_parts = 1;
+      d.ps = (int32_t)block_size;
+      ks.push_back(0);
+      sc.finish(d.n_chunks, b.bitpos());
+      return true;
+    }
+    case VERBATIM: {
+      d.flags = 1;
+      d.n_parts = 1;
+      d.ps = (int32_t)block_size;
+      ks.push_back(sf_bps);
+      for (int64_t t = 0; t < block_size; ++t) {
+        if ((t & 31) == 0) sc.ensure_chunk(t >> 5, b.bitpos());
+        (void)b.read(sf_bps);
+        deltas[t] = (uint8_t)sf_bps;
+      }
+      sc.finish(d.n_chunks, b.bitpos());
+      return true;
+    }
+    case FIXED: {
+      if (block_size < order)
+        fmt_err("invalid fixed subframe, order is larger than block size");
+      for (int i = 0; i < order; ++i)
+        d.warm[i] = extend_sign(b.read(sf_bps), sf_bps);
+      d.order = order;
+      for (int k = 0; k < order; ++k)
+        d.coefs[32 - order + k] = kFixedCoefs[order][k];
+      if (!scan_residual_bits(b, block_size, order, d, sc, ks, deltas))
+        return false;
+      sc.finish(d.n_chunks, b.bitpos());
+      return true;
+    }
+    case LPC: {
+      if (block_size < order)
+        fmt_err("invalid LPC subframe, lpc order is larger than block size");
+      for (int i = 0; i < order; ++i)
+        d.warm[i] = extend_sign(b.read(sf_bps), sf_bps);
+      int qlp_precision = (int)b.read(4) + 1;
+      if (qlp_precision - 1 == 0x0F)
+        fmt_err("invalid subframe, qlp precision value invalid");
+      int32_t qlp_shift = extend_sign(b.read(5), 5);
+      if (qlp_shift < 0)
+        unsupported(
+            "a negative quantized linear predictor coefficient shift is "
+            "not supported, please file a bug.");
+      for (int k = order - 1; k >= 0; --k)
+        d.coefs[32 - order + k] =
+            extend_sign(b.read(qlp_precision), qlp_precision);
+      d.order = order;
+      d.shift = qlp_shift;
+      if (!scan_residual_bits(b, block_size, order, d, sc, ks, deltas))
+        return false;
+      sc.finish(d.n_chunks, b.bitpos());
+      return true;
+    }
+  }
+  return false;  // unreachable
+}
+
+// ---------------------------------------------------------------------------
 // Host prediction + epilogue (decode mode; the reference's hot loops,
 // `src/subframe.rs:417-474,524-614`, `src/frame.rs:318-399`).
 
@@ -538,6 +868,12 @@ struct Handle {
   std::vector<SubDesc> subs;
   std::vector<int32_t> samples;  // extract: lane-concatenated x buffers
   std::vector<int32_t> pcm;      // decode: interleaved samples
+  // Bits-path outputs (cxt_extract_bits).
+  std::vector<CxtBFrame> bframes;
+  std::vector<CxtBSub> bsubs;
+  std::vector<uint8_t> deltas;   // one code-length byte per sample
+  RawWords slots;                // residual-section bits, chunk-slotted
+  std::vector<int32_t> ks;       // per-partition Rice parameters
 };
 
 // Per-channel subframe bps: the side channel carries one extra bit
@@ -638,6 +974,120 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
   }
 }
 
+// Bits-mode whole-stream walker. Every frame first tries the bits path;
+// a frame the device kernel cannot represent (verbatim subframe, > kPCap
+// partitions, a code longer than 255 bits) is rewound and re-parsed
+// through the sample path, marked flags bit 0 -- the pipeline routes those
+// lanes through the legacy sample-shipping program. Header validation,
+// CRC-8/CRC-16 verification and every error message are identical to
+// walk_stream.
+void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
+  Bits b(data, len);
+  std::vector<SubScratch> scratch;
+  std::vector<int32_t> scratch_x;
+  h.deltas.reserve(std::min<size_t>(len, (size_t)1 << 26));
+  // Slot words ~ samples * (s_class+1)/32 ~ 0.6 * stream bytes; one
+  // up-front extend avoids realloc copies on the hot path.
+  h.slots.extend(std::min<size_t>(len, (size_t)1 << 25));
+  h.slots.size = 0;
+  for (;;) {
+    size_t frame_start = b.bytepos();
+    Bits saved = b;
+    Header hdr;
+    if (!read_frame_header(b, hdr)) break;
+    if (hdr.bps < 0) unsupported("header without bits per sample info");
+
+    int64_t bs = hdr.block_size;
+    int nch = hdr.channels;
+    int64_t n_chunks = (bs + 31) / 32;
+
+    size_t ks0 = h.ks.size();
+    size_t deltas0 = h.deltas.size();
+    size_t bsubs0 = h.bsubs.size();
+    h.deltas.resize(deltas0 + (size_t)bs * nch, 0);
+    if ((int)scratch.size() < nch) scratch.resize(nch);
+    for (int ch = 0; ch < nch; ++ch) scratch[ch].reset();
+
+    bool ok = true;
+    for (int ch = 0; ch < nch; ++ch) {
+      CxtBSub d;
+      ok = parse_subframe_bits(b, channel_bps(hdr.mode, ch, hdr.bps), bs, d,
+                               scratch[ch], h.ks,
+                               h.deltas.data() + deltas0 + (size_t)ch * bs);
+      if (!ok) break;
+      h.bsubs.push_back(d);
+    }
+
+    int32_t flags = 0, s_class = 0;
+    if (ok) {
+      b.align();
+      uint16_t computed =
+          crc16_range(b.base + frame_start, b.base + b.bytepos());
+      uint32_t presumed = b.read_be_u16();
+      if (computed != presumed) fmt_err("frame CRC mismatch");
+
+      // Frame-uniform slot class: both channels of a stereo pair must
+      // share a stride so they land in one device bucket, pair-aligned.
+      // Chunk spans include the Rice parameters read between codes; the
+      // deltas account for them, so the kernel's cumulative offsets match.
+      int s = 1;
+      for (int ch = 0; ch < nch; ++ch) {
+        const auto& bases = scratch[ch].bases;
+        for (int64_t c = 0; c < n_chunks; ++c)
+          s = std::max(s, (int)((bases[c + 1] - bases[c] + 31) / 32));
+      }
+      s_class = 0;
+      for (int cls : kSClasses)
+        if (cls >= s) { s_class = cls; break; }
+      if (s_class == 0) {
+        ok = false;  // pathological bit density; sample path
+      } else {
+        for (int ch = 0; ch < nch; ++ch) {
+          const auto& bases = scratch[ch].bases;
+          uint32_t* dst = h.slots.extend((size_t)n_chunks * (s_class + 1));
+          for (int64_t c = 0; c < n_chunks; ++c) {
+            uint64_t cb = bases[c + 1] - bases[c];
+            if (cb)
+              copy_bits_from_bytes(b.base, len, bases[c],
+                                   dst + (size_t)c * (s_class + 1), cb);
+          }
+        }
+      }
+    }
+    if (!ok) {
+      // Rewind; decode this frame's lanes on the host (legacy layout).
+      h.ks.resize(ks0);
+      h.deltas.resize(deltas0);
+      h.bsubs.resize(bsubs0);
+      b = saved;
+      read_frame_header(b, hdr);  // re-reads the validated header
+      flags = 1;
+      scratch_x.resize((size_t)bs * nch);
+      for (int ch = 0; ch < nch; ++ch) {
+        SubDesc sd;
+        parse_subframe(b, channel_bps(hdr.mode, ch, hdr.bps), bs,
+                       scratch_x.data() + (size_t)ch * bs, sd);
+        CxtBSub d;
+        std::memset(&d, 0, sizeof(d));
+        d.order = sd.order;
+        d.shift = sd.shift;
+        d.wasted = sd.wasted;
+        std::memcpy(d.coefs, sd.coefs, sizeof(d.coefs));
+        h.bsubs.push_back(d);
+      }
+      b.align();
+      uint16_t computed =
+          crc16_range(b.base + frame_start, b.base + b.bytepos());
+      uint32_t presumed = b.read_be_u16();
+      if (computed != presumed) fmt_err("frame CRC mismatch");
+      h.samples.insert(h.samples.end(), scratch_x.begin(), scratch_x.end());
+    }
+
+    h.bframes.push_back(CxtBFrame{hdr.time, hdr.block_size, hdr.channels,
+                                  hdr.mode, hdr.bps, flags, s_class, 0, 0});
+  }
+}
+
 Handle* run(const uint8_t* data, uint64_t len, bool full_decode,
             int32_t* err_code, char* err_msg, uint64_t msg_cap,
             int64_t max_frames = -1, size_t* consumed = nullptr) {
@@ -673,6 +1123,65 @@ extern "C" {
 void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
                   char* err_msg, uint64_t msg_cap) {
   return run(data, len, /*full_decode=*/false, err_code, err_msg, msg_cap);
+}
+
+// Bits-mode extraction (deltas + remainder slots; see walk_stream_bits).
+void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t* err_code,
+                       char* err_msg, uint64_t msg_cap) {
+  Handle* h = nullptr;
+  try {
+    h = new Handle();
+    walk_stream_bits(data, (size_t)len, *h);
+    *err_code = 0;
+    return h;
+  } catch (const Err& e) {
+    *err_code = e.code;
+    if (msg_cap) {
+      std::strncpy(err_msg, e.msg, msg_cap - 1);
+      err_msg[msg_cap - 1] = 0;
+    }
+  } catch (const std::exception& e) {
+    *err_code = 100;
+    if (msg_cap) {
+      std::strncpy(err_msg, e.what(), msg_cap - 1);
+      err_msg[msg_cap - 1] = 0;
+    }
+  }
+  delete h;
+  return nullptr;
+}
+
+// Sizes of the six bits-mode output buffers, in elements:
+// [frames, subframes, delta bytes, slot words, ks entries, sample words].
+void cxt_b_counts(void* hv, uint64_t* out) {
+  Handle* h = (Handle*)hv;
+  out[0] = h->bframes.size();
+  out[1] = h->bsubs.size();
+  out[2] = h->deltas.size();
+  out[3] = h->slots.size;
+  out[4] = h->ks.size();
+  out[5] = h->samples.size();
+}
+
+void cxt_b_fill(void* hv, CxtBFrame* frames, CxtBSub* subs, uint8_t* deltas,
+                int32_t* slots, int32_t* ks, int32_t* samples) {
+  Handle* h = (Handle*)hv;
+  static_assert(sizeof(CxtBFrame) == 40, "CxtBFrame layout");
+  static_assert(sizeof(CxtBSub) == 32 + 256, "CxtBSub layout");
+  if (frames && !h->bframes.empty())
+    std::memcpy(frames, h->bframes.data(),
+                h->bframes.size() * sizeof(CxtBFrame));
+  if (subs && !h->bsubs.empty())
+    std::memcpy(subs, h->bsubs.data(), h->bsubs.size() * sizeof(CxtBSub));
+  if (deltas && !h->deltas.empty())
+    std::memcpy(deltas, h->deltas.data(), h->deltas.size());
+  if (slots && h->slots.size)
+    std::memcpy(slots, h->slots.data, h->slots.size * sizeof(uint32_t));
+  if (ks && !h->ks.empty())
+    std::memcpy(ks, h->ks.data(), h->ks.size() * sizeof(int32_t));
+  if (samples && !h->samples.empty())
+    std::memcpy(samples, h->samples.data(),
+                h->samples.size() * sizeof(int32_t));
 }
 
 void* cxt_decode(const uint8_t* data, uint64_t len, int32_t* err_code,
@@ -761,6 +1270,6 @@ void cxt_minmax(const int32_t* src, int64_t n, int32_t* mn, int32_t* mx) {
   *mx = hi;
 }
 
-int32_t cxt_abi_version() { return 1; }
+int32_t cxt_abi_version() { return 2; }
 
 }  // extern "C"
