@@ -623,10 +623,22 @@ def decode_streams(datas, use_native=True, decode_bucket=None,
 def decode_streams_device(datas, use_native=True,
                           lane_quantum=_L_QUANTUM) -> DeviceDecoded:
     """Decode many FLAC streams into device-resident PCM buckets -- the
-    zero-host-round-trip path for feeding TPU consumers directly."""
+    zero-host-round-trip path for feeding TPU consumers directly.
+
+    With the native core available this takes the bits path (residual bits
+    + per-sample gaps to the device, entropy decode on-chip; see
+    pipeline_bits). CLAXON_TPU_NO_BITS=1 forces the legacy sample-shipping
+    path for comparison/debugging; both are bit-exact.
+    """
+    import os
+
     if use_native:
         native = _native_mod()
         if native is not None:
+            if not os.environ.get("CLAXON_TPU_NO_BITS"):
+                from .pipeline_bits import decode_raw_bits_device
+                braws = [native.extract_stream_bits(d) for d in datas]
+                return decode_raw_bits_device(braws, lane_quantum)
             raws = [native.extract_stream_raw(d) for d in datas]
             return decode_raw_batches_device(raws, lane_quantum)
     return decode_batches_device([_extract(d, use_native) for d in datas],
