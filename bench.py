@@ -8,16 +8,26 @@ number is decoded samples per wall-clock second. The baseline is the
 driver's north star of 4.4 Msamples/s/chip (BASELINE.json; derived from
 claxon's ~11-12 Msamples/s/core, `docs/generic_integer_width.md:21-73`).
 
-Corpus: generated 16-bit/44.1 kHz stereo streams (flac-subset style: 4096
-blocks, LPC order 8, mid/side) via the spec-derived encoder in
-``claxon_tpu.testing``, cached under .bench_cache/. Bit-exactness is
-asserted against the STREAMINFO MD5 before timing.
+Link physics on this tunneled backend (measured, tools/link_probe.py):
+host-to-device streams at GB/s UNTIL the first device-to-host fetch of the
+process, after which BOTH directions degrade to ~25-45 MB/s with stall
+phases. The benchmark is therefore phase-ordered: the to-device figure is
+measured first with zero prior d2h traffic and closed by ONE dependent
+flag fetch inside the timed window (the completion proof -- it cannot
+resolve before every queued program finishes); the to-host figure then
+runs in the degraded regime it inherently lives in (PCM crosses d2h).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Bit-exactness is asserted against the STREAMINFO MD5 oracle through the
+native scalar decoder BEFORE any device work (no link traffic).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} --
+`value` is the end-to-end to-host rate (the honest headline), with the
+to-device rate, percentiles, corpus mix, and backend recorded as fields.
 """
 
 import hashlib
 import json
+import os
 import pathlib
 import sys
 import time
@@ -29,13 +39,17 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 BASELINE_MSAMPLES_S = 4.4
 CACHE = pathlib.Path(__file__).resolve().parent / ".bench_cache"
 CORPUS_VERSION = "v1"
+MIXED_VERSION = "m1"
 N_STREAMS = 8
 SECONDS_PER_STREAM = 10
-MIN_TIMED_SECONDS = 9.0
+TO_DEVICE_SECONDS = 8.0
+TO_HOST_SECONDS = 9.0
 N_WINDOWS = 3
 
 
 def build_corpus():
+    """The headline corpus: 8 x 10 s of 16-bit/44.1 kHz stereo (flac-subset
+    style: 4096 blocks, LPC order 8, mid/side)."""
     from claxon_tpu.testing import encode_flac, synth_music
 
     cache = CACHE / f"corpus_{CORPUS_VERSION}"
@@ -51,6 +65,43 @@ def build_corpus():
     return datas
 
 
+def build_mixed_corpus():
+    """Anti-self-flattery corpus (VERDICT r1 item 4): varied block sizes,
+    LPC orders, stereo modes, partition orders, rice2 and bit depths, plus
+    the reference's committed real files."""
+    from claxon_tpu.testing import encode_flac, synth_music
+
+    cache = CACHE / f"mixed_{MIXED_VERSION}"
+    cache.mkdir(parents=True, exist_ok=True)
+    specs = [
+        dict(block_size=1152, max_lpc_order=2, partition_order=1),
+        dict(block_size=4096, max_lpc_order=12, partition_order=4),
+        dict(block_size=4608, max_lpc_order=8, partition_order=3),
+        dict(block_size=4096, stereo="left_side", partition_order=2),
+        dict(block_size=4096, stereo="right_side", partition_order=2),
+        dict(block_size=4096, rice2=True, partition_order=4),
+        dict(block_size=2048, bps=24, max_lpc_order=8, partition_order=3),
+        dict(block_size=4096, bps=16, force_subframe="fixed",
+             partition_order=2),
+    ]
+    datas = []
+    for i, spec in enumerate(specs):
+        p = cache / f"m{i:02d}.flac"
+        if not p.exists():
+            spec = dict(spec)
+            bps = spec.pop("bps", 16)
+            pcm = synth_music(44100 * 4, channels=2, bps=bps, seed=2000 + i)
+            p.write_bytes(encode_flac(pcm, 44100, bps, **spec))
+        datas.append(p.read_bytes())
+    ref = pathlib.Path("/root/reference/testsamples")
+    for name in ("pop.flac", "short.flac", "wasted_bits.flac",
+                 "non_subset.flac"):
+        f = ref / name
+        if f.exists():
+            datas.append(f.read_bytes())
+    return datas
+
+
 def pcm_md5(pcm, bps):
     nbytes = (bps + 7) // 8
     raw = np.ascontiguousarray(pcm, dtype="<i4").tobytes()
@@ -58,9 +109,40 @@ def pcm_md5(pcm, bps):
     return hashlib.md5(arr.tobytes()).digest()
 
 
+def verify_corpus(datas):
+    """Bit-exactness gate through the native scalar oracle -- runs before
+    any device traffic so the link stays in its clean phase."""
+    from claxon_tpu import native
+
+    total = 0
+    for data in datas:
+        si, pcm = native.decode_stream_scalar(data)
+        if si.md5sum != b"\x00" * 16:  # e.g. non_subset.flac stores none
+            assert pcm_md5(pcm, si.bits_per_sample) == si.md5sum, \
+                "decode is not bit-exact"
+        total += pcm.size
+    return total
+
+
+def time_to_device(decode_streams_device, datas, total_samples,
+                   seconds, max_reps=200):
+    """Sustained decode-to-HBM rate: dispatch batches back to back, close
+    with one dependent flag fetch (the only d2h of the phase, inside the
+    timed window)."""
+    reps = 0
+    last = None
+    t0 = time.perf_counter()
+    while True:
+        last = decode_streams_device(datas)
+        reps += 1
+        if time.perf_counter() - t0 >= seconds or reps >= max_reps:
+            break
+    last.sync()
+    elapsed = time.perf_counter() - t0
+    return total_samples * reps / elapsed / 1e6, reps
+
+
 def main():
-    # Persistent compilation cache: repeated bench runs skip the (remote,
-    # slow) XLA compile entirely.
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",
@@ -69,33 +151,36 @@ def main():
     except Exception:
         pass
 
-    from claxon_tpu.pipeline import decode_streams
     from claxon_tpu import native
+    from claxon_tpu.pipeline import decode_streams, decode_streams_device
 
     datas = build_corpus()
+    mixed = build_mixed_corpus()
+    total_samples = verify_corpus(datas)
+    mixed_samples = verify_corpus(mixed)
 
-    # Warm-up, kept link-light (the tunneled device link has slow phases):
-    # 1. decode ONE stream end-to-end and verify bit-exactness against the
-    #    STREAMINFO MD5 oracle (the generated corpus is self-verifying; the
-    #    full corpus is bit-exactness-tested in the test suite);
-    # 2. compile + run the full-corpus device program without fetching.
-    from claxon_tpu.pipeline import decode_streams_device
+    # ---- Phase 1: to-device (clean-link regime; no d2h before or during,
+    # one flag fetch closes the window). Compile warm-up never fetches.
+    warm = decode_streams_device(datas)
+    import jax
+    jax.block_until_ready([d.out_full for d in warm.dispatches])
+    warm_mixed = decode_streams_device(mixed)
+    jax.block_until_ready([d.out_full for d in warm_mixed.dispatches])
 
+    dev_msamples_s, dev_reps = time_to_device(
+        decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
+    mixed_dev_msamples_s, _ = time_to_device(
+        decode_streams_device, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+
+    # ---- Phase 2: end-to-end to-host (d2h-bound by nature; the process
+    # link is in its degraded regime now, which is this phase's reality).
+    # Software-pipelined: batch n+1 extracts/dispatches while batch n's
+    # PCM streams back. Median over windows (the reference also averages
+    # many runs; this link has order-of-magnitude slow phases).
     d = decode_streams(datas[:1])[0]
     assert pcm_md5(d.pcm, d.streaminfo.bits_per_sample) == \
-        d.streaminfo.md5sum, "decode is not bit-exact"
-    warm = decode_streams_device(datas).block_until_ready()
-    total_samples = sum(r.pcm.size for r in warm.results)
+        d.streaminfo.md5sum, "device decode is not bit-exact"
 
-    # Timed runs: whole pipeline (host demux + device decode + PCM back on
-    # the host), software-pipelined: while one batch's results stream back
-    # over the link, the next batch is already being demuxed and decoded.
-    # The reported figure is the MEDIAN over several self-contained timed
-    # windows -- the reference's methodology also averages many runs
-    # (`tools/benchmark_against_libflac.sh`, 11 rounds) because a single
-    # window is at the mercy of environmental noise; this device link in
-    # particular has order-of-magnitude slow phases. Each window is also
-    # wall-time capped so a stall cannot run the benchmark for minutes.
     rates = []
     reps = 0
     bench_t0 = time.perf_counter()
@@ -110,52 +195,29 @@ def main():
             w_reps += 1
             if len(in_flight) > 1:
                 in_flight.pop(0).to_host()
-            if (time.perf_counter() - w0 >= MIN_TIMED_SECONDS / N_WINDOWS
+            if (time.perf_counter() - w0 >= TO_HOST_SECONDS / N_WINDOWS
                     or w_reps >= 20):
                 break
         for dev in in_flight:
             dev.to_host()
-        rates.append(total_samples * w_reps /
-                     (time.perf_counter() - w0))
+        rates.append(total_samples * w_reps / (time.perf_counter() - w0))
         reps += w_reps
         if time.perf_counter() - bench_t0 > 120:
             break  # pathological stall phase: stop with what we have
     rates.sort()
     mid = len(rates) // 2
-    if len(rates) % 2:
-        median = rates[mid]
-    else:
-        median = (rates[mid - 1] + rates[mid]) / 2
+    median = rates[mid] if len(rates) % 2 else \
+        (rates[mid - 1] + rates[mid]) / 2
     msamples_s = median / 1e6
+    p10 = rates[0] / 1e6
+    p90 = rates[-1] / 1e6
 
-    # Decode-to-device: the zero-host-round-trip path feeding TPU
-    # consumers straight from HBM (the framework's native product).
-    # Pipelined: extract batch n+1 while batch n computes.
-    # Device work executes in dispatch order, so ONE final sync (a tiny
-    # dependent fetch -- the reliable barrier on this transport) proves
-    # every rep completed; per-rep probes would bill the link's scalar
-    # round-trip latency to the decoder.
-    dev_reps = 0
-    last = None
-    t0 = time.perf_counter()
-    while True:
-        last = decode_streams_device(datas)
-        dev_reps += 1
-        dev_elapsed = time.perf_counter() - t0
-        if dev_elapsed >= MIN_TIMED_SECONDS or dev_reps >= 50:
-            break
-    last.sync()
-    dev_elapsed = time.perf_counter() - t0
-    dev_msamples_s = total_samples * dev_reps / dev_elapsed / 1e6
-
-    # Host scalar decode (FlacReader.blocks(), the claxon-equivalent
-    # CPU-to-CPU path) for context. Time-capped like every other phase:
-    # without the native core this path is pure Python and must not run
-    # for minutes.
+    # ---- Phase 3: host scalar decode (FlacReader.blocks(), the
+    # claxon-equivalent CPU path) for context. Time-capped.
     from claxon_tpu import FlacReader
     t0 = time.perf_counter()
     n = 0
-    deadline = t0 + MIN_TIMED_SECONDS / 2
+    deadline = t0 + TO_HOST_SECONDS / 2
     while time.perf_counter() < deadline:
         for data in datas:
             fr = FlacReader(data).blocks()
@@ -169,6 +231,9 @@ def main():
                 break
     scalar_msamples_s = n / (time.perf_counter() - t0) / 1e6
 
+    backend = "pallas" if (jax.devices()[0].platform == "tpu"
+                           and not os.environ.get("CLAXON_TPU_NO_PALLAS")) \
+        else "xla-scan"
     print(json.dumps({
         "metric": "decode_throughput_per_chip",
         "value": round(msamples_s, 3),
@@ -177,10 +242,18 @@ def main():
         "to_device_msamples_s": round(dev_msamples_s, 3),
         "to_device_vs_baseline": round(dev_msamples_s / BASELINE_MSAMPLES_S,
                                        3),
+        "to_device_mixed_msamples_s": round(mixed_dev_msamples_s, 3),
+        "to_host_p10_msamples_s": round(p10, 3),
+        "to_host_p90_msamples_s": round(p90, 3),
         "host_scalar_msamples_s": round(scalar_msamples_s, 3),
+        "synthesis_backend": backend,
+        "entropy_decode": "device" if not os.environ.get(
+            "CLAXON_TPU_NO_BITS") else "host",
         "native_demux": native.available(),
         "streams": len(datas),
+        "mixed_streams": len(mixed),
         "reps": reps,
+        "to_device_reps": dev_reps,
     }))
 
 

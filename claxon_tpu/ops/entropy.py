@@ -47,14 +47,17 @@ def _i(x):
     return x.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("n_parts_max",))
+@partial(jax.jit, static_argnames=("n_parts_max", "sa"))
 def decode_residual_bits(slots, deltas, ks, ps, orders, pbits, vflags, warm,
-                         n_parts_max=1):
+                         n_parts_max=1, sa=None):
     """Reconstruct the (L, T) subframe input (warm-up ++ residuals).
 
     Args:
       slots:  (L, NC, SA) int32 chunk-slotted residual bits (MSB-first:
-              slot bit i of a chunk is word i>>5, bit 31-(i&31)).
+              slot bit i of a chunk is word i>>5, bit 31-(i&31)), or the
+              flat (L, NC*SA) form with ``sa=SA`` -- callers ship the flat
+              form: a minor dimension of SA would be padded to the TPU's
+              128-lane tile on transfer, inflating the upload ~128/SA x.
       deltas: (L, T) uint8/int32 per-sample bit gaps, T == NC * 32.
       ks:     (L, P) int32 per-partition Rice parameters, P >= n_parts_max.
       ps:     (L,) int32 samples per partition (block_size >> order).
@@ -68,7 +71,13 @@ def decode_residual_bits(slots, deltas, ks, ps, orders, pbits, vflags, warm,
       (L, T) int32: warm-up values at t < order, decoded residuals after,
       zeros where deltas == 0 (padding).
     """
-    L, NC, SA = slots.shape
+    if slots.ndim == 2:
+        L = slots.shape[0]
+        SA = sa
+        NC = slots.shape[1] // SA
+        slots = slots.reshape(L, NC, SA)
+    else:
+        L, NC, SA = slots.shape
     T = NC * 32
     d = deltas.astype(jnp.int32)
     t = jnp.arange(T, dtype=jnp.int32)[None, :]

@@ -45,19 +45,31 @@ def _jnp():
 
 
 @lru_cache(maxsize=None)
-def _bits_program(n_parts_max, out_packed, chunked=True):
+def _bits_program(n_parts_max, sa, out_packed, chunked=True):
     """The fused bits-bucket program: entropy decode -> synthesis ->
-    epilogue -> transfer packing, compiled once per (shape, P, packing)."""
+    epilogue -> transfer packing, compiled once per (shape, P, packing).
+    ``slots`` crosses the link flat (L, NC*sa) -- see decode_residual_bits
+    on why a minor dimension of sa would inflate the transfer."""
     import jax
 
     from .ops.predict import synthesize_best
     from .pipeline import _split_lanes, _FETCH_CHUNKS
 
     @jax.jit
-    def prog(slots, deltas, ks, ps, orders, pbits, vflags, warm,
-             coefs, shifts, wasted, pair_modes, lengths):
+    def prog(slots, deltas, ks, meta):
+        # One coalesced int32 metadata array per bucket: every per-lane
+        # scalar/vector rides a single transfer (each h2d on the tunneled
+        # backend pays a round trip, so 13 arrays/bucket was ~3x slower to
+        # dispatch than 4). Layout matches _META_COLS.
+        L = meta.shape[0]
+        orders, shifts, wasted, ps, pbits, vflags, lengths = (
+            meta[:, i] for i in range(7))
+        pair_modes = meta[:L // 2, 7]
+        warm = meta[:, 8:40]
+        coefs = meta[:, 40:72]
         x = decode_residual_bits(slots, deltas, ks, ps, orders, pbits,
-                                 vflags, warm, n_parts_max=n_parts_max)
+                                 vflags, warm, n_parts_max=n_parts_max,
+                                 sa=sa)
         out = synthesize_best(x, coefs, shifts, orders, lengths)
         out = apply_epilogue(out, wasted, pair_modes)
         if not chunked:
@@ -68,6 +80,11 @@ def _bits_program(n_parts_max, out_packed, chunked=True):
         return out, _split_lanes(out, _FETCH_CHUNKS)
 
     return prog
+
+
+#: meta columns: 0 order, 1 shift, 2 wasted, 3 ps, 4 pbits, 5 vflags,
+#: 6 length, 7 pair_mode (rows [0, L//2)), 8:40 warm-up, 40:72 coefs.
+_META_W = 72
 
 
 def _runs(recs):
@@ -167,19 +184,15 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             int(r["bb"].bsubs["n_parts"][r["lane"] + c])
             for r in recs for c in range(r["nch"])))
 
-        slots = np.zeros((L, NC, SA), dtype=np.int32)
+        # The slot buffer is deliberately NOT zeroed: the kernel reads only
+        # word indices inside each lane's copied chunks, and padding lanes'
+        # outputs are forced to zero by their all-zero deltas, so leftover
+        # heap content never reaches any decoded sample.
+        slots = np.empty((L, NC * SA), dtype=np.int32)
+        slots3 = slots.reshape(L, NC, SA)  # host-side fill view
         deltas = np.zeros((L, T_ext), dtype=np.uint8)
         ks = np.zeros((L, P), dtype=np.int32)
-        ps = np.zeros(L, dtype=np.int32)
-        orders = np.zeros(L, dtype=np.int32)
-        pbits = np.zeros(L, dtype=np.int32)
-        vflags = np.zeros(L, dtype=np.int32)
-        warm = np.zeros((L, 32), dtype=np.int32)
-        coefs = np.zeros((L, ORDER_MAX), dtype=np.int32)
-        shifts = np.zeros(L, dtype=np.int32)
-        wasted = np.zeros(L, dtype=np.int32)
-        pair_modes = np.zeros(L // 2, dtype=np.int32)
-        lengths = np.zeros(L, dtype=np.int32)
+        meta = np.zeros((L, _META_W), dtype=np.int32)
 
         lane = 0
         plan = []
@@ -194,36 +207,34 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             deltas[lane:lane + nl, :bs] = \
                 bb.deltas[run[0]["d0"]:run[0]["d0"] + nl * bs].reshape(
                     nl, bs)
-            slots[lane:lane + nl, :nc, :] = \
+            slots3[lane:lane + nl, :nc, :] = \
                 bb.slots[run[0]["s0"]:run[0]["s0"] + nl * nc * SA].reshape(
                     nl, nc, SA)
             subs = bb.bsubs[sub0:sub0 + nl]
-            orders[lane:lane + nl] = subs["order"]
-            shifts[lane:lane + nl] = subs["shift"]
-            wasted[lane:lane + nl] = subs["wasted"]
-            ps[lane:lane + nl] = subs["ps"]
-            pbits[lane:lane + nl] = subs["pbits"]
-            vflags[lane:lane + nl] = subs["flags"] & 1
-            warm[lane:lane + nl] = subs["warm"]
-            coefs[lane:lane + nl] = subs["coefs"]
-            lengths[lane:lane + nl] = bs
+            m = meta[lane:lane + nl]
+            m[:, 0] = subs["order"]
+            m[:, 1] = subs["shift"]
+            m[:, 2] = subs["wasted"]
+            m[:, 3] = subs["ps"]
+            m[:, 4] = subs["pbits"]
+            m[:, 5] = subs["flags"] & 1
+            m[:, 6] = bs
+            m[:, 8:40] = subs["warm"]
+            m[:, 40:72] = subs["coefs"]
             ko = run[0]["k0"]
             for j in range(nl):
                 nparts = int(subs["n_parts"][j])
                 ks[lane + j, :nparts] = bb.ks[ko:ko + nparts]
                 ko += nparts
             if n_ch == 2:
-                pair_modes[lane // 2:lane // 2 + len(run)] = \
+                meta[lane // 2:lane // 2 + len(run), 7] = \
                     [r["mode"] for r in run]
             out_packed = out_packed and all(r["bps"] <= 16 for r in run)
             lane += nl
 
-        prog = _bits_program(P, out_packed)
+        prog = _bits_program(P, SA, out_packed)
         args = (jnp.asarray(slots), jnp.asarray(deltas), jnp.asarray(ks),
-                jnp.asarray(ps), jnp.asarray(orders), jnp.asarray(pbits),
-                jnp.asarray(vflags), jnp.asarray(warm), jnp.asarray(coefs),
-                jnp.asarray(shifts), jnp.asarray(wasted),
-                jnp.asarray(pair_modes), jnp.asarray(lengths))
+                jnp.asarray(meta))
         if out_packed:
             out, flag, chunks = prog(*args)
             dispatches.append(_BucketDispatch([], n_ch, out, chunks, True,
