@@ -9,13 +9,13 @@ driver's north star of 4.4 Msamples/s/chip (BASELINE.json; derived from
 claxon's ~11-12 Msamples/s/core, `docs/generic_integer_width.md:21-73`).
 
 Link physics on this tunneled backend (measured, tools/link_probe.py):
-host-to-device streams at GB/s UNTIL the first device-to-host fetch of the
-process, after which BOTH directions degrade to ~25-45 MB/s with stall
-phases. The benchmark is therefore phase-ordered: the to-device figure is
-measured first with zero prior d2h traffic and closed by ONE dependent
-flag fetch inside the timed window (the completion proof -- it cannot
-resolve before every queued program finishes); the to-host figure then
-runs in the degraded regime it inherently lives in (PCM crosses d2h).
+block_until_ready acknowledges transfers early, so the only honest timing
+closes with a dependent fetch; sustained host-to-device is ~30-45 MB/s.
+The to-device window dispatches batches back to back and is closed by ONE
+dependent flag fetch (it cannot resolve before every queued program
+finishes); the JSON reports the measured link rate and the physical
+ceiling it implies (rate / upload bytes per sample) next to the achieved
+figure.
 
 Bit-exactness is asserted against the STREAMINFO MD5 oracle through the
 native scalar decoder BEFORE any device work (no link traffic).
@@ -159,18 +159,37 @@ def main():
     total_samples = verify_corpus(datas)
     mixed_samples = verify_corpus(mixed)
 
-    # ---- Phase 1: to-device (clean-link regime; no d2h before or during,
-    # one flag fetch closes the window). Compile warm-up never fetches.
-    warm = decode_streams_device(datas)
+    # ---- Phase 1: to-device. Warm-up must COMPLETE (sync) before timing:
+    # compilation on this backend is asynchronous and block_until_ready
+    # acks early, so an unfinished warm-up silently bills its compile to
+    # the first timed window.
     import jax
-    jax.block_until_ready([d.out_full for d in warm.dispatches])
-    warm_mixed = decode_streams_device(mixed)
-    jax.block_until_ready([d.out_full for d in warm_mixed.dispatches])
+    warm = decode_streams_device(datas).sync()
+    warm_mixed = decode_streams_device(mixed).sync()
 
     dev_msamples_s, dev_reps = time_to_device(
         decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
     mixed_dev_msamples_s, _ = time_to_device(
         decode_streams_device, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+
+    # Link budget: sustained h2d rate (dependent-fetch barrier -- the only
+    # honest one on this transport, see tools/link_probe.py) and the upload
+    # bytes per decoded sample. Their quotient is the hard physical ceiling
+    # the tunnel imposes on ANY decode-to-device path; reporting it lets
+    # the headline be judged against the medium, not just the baseline.
+    upload_bytes = getattr(warm, "upload_bytes", 0)
+    import jax.numpy as jnp
+    tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
+    probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
+    d = jax.device_put(probe)
+    np.asarray(tiny_sum(d))
+    t0 = time.perf_counter()
+    d = jax.device_put(probe)
+    np.asarray(tiny_sum(d))
+    h2d_mbps = 16 / (time.perf_counter() - t0)
+    bytes_per_sample = upload_bytes / max(total_samples, 1)
+    link_ceiling = (h2d_mbps * 1e6 / bytes_per_sample / 1e6
+                    if bytes_per_sample else 0.0)
 
     # ---- Phase 2: end-to-end to-host (d2h-bound by nature; the process
     # link is in its degraded regime now, which is this phase's reality).
@@ -250,6 +269,9 @@ def main():
         "entropy_decode": "device" if not os.environ.get(
             "CLAXON_TPU_NO_BITS") else "host",
         "native_demux": native.available(),
+        "upload_bytes_per_sample": round(bytes_per_sample, 3),
+        "link_h2d_mbps": round(h2d_mbps, 1),
+        "link_ceiling_msamples_s": round(link_ceiling, 1),
         "streams": len(datas),
         "mixed_streams": len(mixed),
         "reps": reps,

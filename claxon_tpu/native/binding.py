@@ -27,7 +27,7 @@ __all__ = ["available", "extract_stream", "extract_stream_raw",
 
 #: Expected cxt_abi_version() of the loaded .so; must move in lockstep with
 #: any change to the C-ABI struct layouts below.
-ABI_VERSION = 2
+ABI_VERSION = 4
 
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
@@ -85,13 +85,18 @@ def _load():
         lib.cxt_pcm_fill.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.cxt_free.restype = None
         lib.cxt_free.argtypes = [ctypes.c_void_p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.cxt_extract_bits.restype = ctypes.c_void_p
-        lib.cxt_extract_bits.argtypes = lib.cxt_extract.argtypes
+        lib.cxt_extract_bits.argtypes = [u8p, ctypes.c_uint64,
+                                         ctypes.c_int32, ctypes.c_int64,
+                                         ctypes.POINTER(ctypes.c_uint64),
+                                         ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.c_char_p, ctypes.c_uint64]
         lib.cxt_b_counts.restype = None
         lib.cxt_b_counts.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_uint64)]
         lib.cxt_b_fill.restype = None
-        lib.cxt_b_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.cxt_b_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
         # A stale .so whose symbols still resolve but whose struct layouts
         # differ would corrupt memory in cxt_fill; the ABI version gate
         # turns that into the documented available() -> False fallback.
@@ -225,50 +230,81 @@ class BitsBatch:
 
     Fallback frames instead consume ``block_size`` int32 samples per lane
     from ``samples`` (legacy warm-up ++ residuals layout).
+
+    ``bases`` holds, per bits-lane chunk, the absolute bit position (within
+    the frame section) where the chunk's codes start -- the stream-gather
+    kernel reads chunk words straight from the uploaded stream with these.
+    ``payload`` keeps the frame-section bytes for that upload. ``slots``
+    is only populated when extraction ran with ``emit_slots=True`` (the
+    host-relocation delta path).
     """
 
-    __slots__ = ("bframes", "bsubs", "deltas", "slots", "ks", "samples")
+    __slots__ = ("bframes", "bsubs", "deltas", "slots", "ks", "samples",
+                 "bases", "payload")
 
-    def __init__(self, bframes, bsubs, deltas, slots, ks, samples):
+    def __init__(self, bframes, bsubs, deltas, slots, ks, samples, bases,
+                 payload=None):
         self.bframes = bframes
         self.bsubs = bsubs
         self.deltas = deltas
         self.slots = slots
         self.ks = ks
         self.samples = samples
+        self.bases = bases
+        self.payload = payload
 
 
-def extract_frames_bits(payload):
+def extract_frames_bits(payload, emit_slots=True, max_frames=None,
+                        consumed=None):
     """Bits-path extraction of a stream's frame section (positioned at the
     first frame byte): the boundary-only C++ walk (walk_stream_bits in
     claxon_demux.cpp) that ships residual *bits* instead of decoded
-    samples. Returns a BitsBatch."""
+    samples. Returns a BitsBatch.
+
+    ``max_frames`` bounds the walk (container chunks declare their frame
+    count); ``consumed``, a one-element list, receives the byte length of
+    the frames actually parsed."""
     lib = _require()
-    h = _call(lib.cxt_extract_bits, payload)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    err = ctypes.c_int32(0)
+    msg = ctypes.create_string_buffer(256)
+    used = ctypes.c_uint64(0)
+    h = lib.cxt_extract_bits(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+        1 if emit_slots else 0,
+        -1 if max_frames is None else max_frames, ctypes.byref(used),
+        ctypes.byref(err), msg, 256)
+    _checked(h, err, msg)
+    if consumed is not None:
+        consumed.append(int(used.value))
     try:
-        counts = (ctypes.c_uint64 * 6)()
+        counts = (ctypes.c_uint64 * 7)()
         lib.cxt_b_counts(h, counts)
-        nf, ns, nd, nw, nk, nx = (int(c) for c in counts)
+        nf, ns, nd, nw, nk, nx, nb = (int(c) for c in counts)
         bframes = np.empty(nf, dtype=BFRAME_DTYPE)
         bsubs = np.empty(ns, dtype=BSUB_DTYPE)
         deltas = np.empty(nd, dtype=np.uint8)
         slots = np.empty(nw, dtype=np.int32)
         ks = np.empty(nk, dtype=np.int32)
         samples = np.empty(nx, dtype=np.int32)
+        bases = np.empty(nb, dtype=np.int32)
         lib.cxt_b_fill(h, bframes.ctypes.data, bsubs.ctypes.data,
                        deltas.ctypes.data, slots.ctypes.data,
-                       ks.ctypes.data, samples.ctypes.data)
+                       ks.ctypes.data, samples.ctypes.data,
+                       bases.ctypes.data)
     finally:
         lib.cxt_free(h)
-    return BitsBatch(bframes, bsubs, deltas, slots, ks, samples)
+    return BitsBatch(bframes, bsubs, deltas, slots, ks, samples, bases,
+                     payload)
 
 
-def extract_stream_bits(data):
+def extract_stream_bits(data, emit_slots=True):
     """(streaminfo, BitsBatch) for a whole stream -- the production
     zero-residual-materialization path consumed by claxon_tpu.pipeline."""
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
-    return streaminfo, extract_frames_bits(memoryview(data)[pos:])
+    return streaminfo, extract_frames_bits(memoryview(data)[pos:],
+                                           emit_slots)
 
 
 def extract_frames(payload, max_frames=None):

@@ -60,7 +60,8 @@ struct CxtBFrame {
 // and the remainder is the k bits before the end.
 struct CxtBSub {
   int32_t order, shift, wasted, n_parts;  // n_parts == 0: fallback lane
-  int32_t ps, n_chunks, pbits, flags;     // flags bit 0: verbatim lane
+  int32_t ps, n_chunks, pbits, flags;     // flags: bit0 verbatim,
+                                          //        bit1 no residual codes
   int32_t coefs[32];  // left-padded like SubDesc
   int32_t warm[32];   // warm-up sample values ([0, order))
 };
@@ -654,7 +655,9 @@ bool scan_residual_bits(Bits& b, int64_t block_size, int order, CxtBSub& d,
     int k = (int)rice_param;
     ks.push_back(k);
     // First code of the partition: delta includes the parameter bits.
-    uint32_t max_q = 254u - (uint32_t)(k + param_bits);
+    // The cap keeps every code (with its parameter) inside the device
+    // kernel's 64-bit parse window; longer codes take the sample path.
+    uint32_t max_q = 63u - (uint32_t)(k + param_bits);
     int extra = param_bits;
     for (int64_t i = 0; i < len; ++i, ++t) {
       // Chunks advance only at 32-sample boundaries (the partition's
@@ -750,6 +753,7 @@ bool parse_subframe_bits(Bits& b, int bps, int64_t block_size, CxtBSub& d,
       d.coefs[31] = 1;
       d.n_parts = 1;
       d.ps = (int32_t)block_size;
+      d.flags = 2;  // no residual codes: the scan kernel must not parse
       ks.push_back(0);
       sc.finish(d.n_chunks, b.bitpos());
       return true;
@@ -874,6 +878,10 @@ struct Handle {
   std::vector<uint8_t> deltas;   // one code-length byte per sample
   RawWords slots;                // residual-section bits, chunk-slotted
   std::vector<int32_t> ks;       // per-partition Rice parameters
+  std::vector<int32_t> bases;    // absolute bit position of each chunk's
+                                 // first code (n_chunks per bits lane) --
+                                 // the device gathers chunk words straight
+                                 // from the uploaded stream with these
 };
 
 // Per-channel subframe bps: the side channel carries one extra bit
@@ -981,7 +989,9 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
 // lanes through the legacy sample-shipping program. Header validation,
 // CRC-8/CRC-16 verification and every error message are identical to
 // walk_stream.
-void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
+void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
+                      bool emit_slots, int64_t max_frames = -1,
+                      size_t* consumed = nullptr) {
   Bits b(data, len);
   std::vector<SubScratch> scratch;
   std::vector<int32_t> scratch_x;
@@ -990,7 +1000,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
   // up-front extend avoids realloc copies on the hot path.
   h.slots.extend(std::min<size_t>(len, (size_t)1 << 25));
   h.slots.size = 0;
-  for (;;) {
+  while (max_frames < 0 || (int64_t)h.bframes.size() < max_frames) {
     size_t frame_start = b.bytepos();
     Bits saved = b;
     Header hdr;
@@ -1004,6 +1014,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
     size_t ks0 = h.ks.size();
     size_t deltas0 = h.deltas.size();
     size_t bsubs0 = h.bsubs.size();
+    size_t bases0 = h.bases.size();
     h.deltas.resize(deltas0 + (size_t)bs * nch, 0);
     if ((int)scratch.size() < nch) scratch.resize(nch);
     for (int ch = 0; ch < nch; ++ch) scratch[ch].reset();
@@ -1044,6 +1055,9 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
       } else {
         for (int ch = 0; ch < nch; ++ch) {
           const auto& bases = scratch[ch].bases;
+          for (int64_t c = 0; c < n_chunks; ++c)
+            h.bases.push_back((int32_t)bases[c]);
+          if (!emit_slots) continue;
           uint32_t* dst = h.slots.extend((size_t)n_chunks * (s_class + 1));
           for (int64_t c = 0; c < n_chunks; ++c) {
             uint64_t cb = bases[c + 1] - bases[c];
@@ -1058,6 +1072,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
       // Rewind; decode this frame's lanes on the host (legacy layout).
       h.ks.resize(ks0);
       h.deltas.resize(deltas0);
+      h.bases.resize(bases0);
       h.bsubs.resize(bsubs0);
       b = saved;
       read_frame_header(b, hdr);  // re-reads the validated header
@@ -1085,6 +1100,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h) {
 
     h.bframes.push_back(CxtBFrame{hdr.time, hdr.block_size, hdr.channels,
                                   hdr.mode, hdr.bps, flags, s_class, 0, 0});
+    if (consumed) *consumed = b.bytepos();
   }
 }
 
@@ -1125,13 +1141,23 @@ void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
   return run(data, len, /*full_decode=*/false, err_code, err_msg, msg_cap);
 }
 
-// Bits-mode extraction (deltas + remainder slots; see walk_stream_bits).
-void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t* err_code,
-                       char* err_msg, uint64_t msg_cap) {
+// Bits-mode extraction (see walk_stream_bits). opts bit 0: also emit the
+// host-relocated chunk slots (the delta-kernel path); without it only the
+// chunk base positions are emitted and the device gathers chunk words
+// straight from the uploaded stream (the minimal-uplink production path).
+// max_frames < 0 walks the whole section; otherwise the walk stops after
+// that many frames (container chunks hold a declared frame count) and
+// *consumed reports the bytes of the frames actually parsed.
+void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t opts,
+                       int64_t max_frames, uint64_t* consumed,
+                       int32_t* err_code, char* err_msg, uint64_t msg_cap) {
   Handle* h = nullptr;
   try {
     h = new Handle();
-    walk_stream_bits(data, (size_t)len, *h);
+    size_t used = 0;
+    walk_stream_bits(data, (size_t)len, *h, (opts & 1) != 0, max_frames,
+                     &used);
+    if (consumed) *consumed = (uint64_t)used;
     *err_code = 0;
     return h;
   } catch (const Err& e) {
@@ -1151,8 +1177,8 @@ void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t* err_code,
   return nullptr;
 }
 
-// Sizes of the six bits-mode output buffers, in elements:
-// [frames, subframes, delta bytes, slot words, ks entries, sample words].
+// Sizes of the seven bits-mode output buffers, in elements: [frames,
+// subframes, delta bytes, slot words, ks entries, sample words, bases].
 void cxt_b_counts(void* hv, uint64_t* out) {
   Handle* h = (Handle*)hv;
   out[0] = h->bframes.size();
@@ -1161,10 +1187,12 @@ void cxt_b_counts(void* hv, uint64_t* out) {
   out[3] = h->slots.size;
   out[4] = h->ks.size();
   out[5] = h->samples.size();
+  out[6] = h->bases.size();
 }
 
 void cxt_b_fill(void* hv, CxtBFrame* frames, CxtBSub* subs, uint8_t* deltas,
-                int32_t* slots, int32_t* ks, int32_t* samples) {
+                int32_t* slots, int32_t* ks, int32_t* samples,
+                int32_t* bases) {
   Handle* h = (Handle*)hv;
   static_assert(sizeof(CxtBFrame) == 40, "CxtBFrame layout");
   static_assert(sizeof(CxtBSub) == 32 + 256, "CxtBSub layout");
@@ -1182,6 +1210,8 @@ void cxt_b_fill(void* hv, CxtBFrame* frames, CxtBSub* subs, uint8_t* deltas,
   if (samples && !h->samples.empty())
     std::memcpy(samples, h->samples.data(),
                 h->samples.size() * sizeof(int32_t));
+  if (bases && !h->bases.empty())
+    std::memcpy(bases, h->bases.data(), h->bases.size() * sizeof(int32_t));
 }
 
 void* cxt_decode(const uint8_t* data, uint64_t len, int32_t* err_code,
@@ -1270,6 +1300,6 @@ void cxt_minmax(const int32_t* src, int64_t n, int32_t* mn, int32_t* mx) {
   *mx = hi;
 }
 
-int32_t cxt_abi_version() { return 2; }
+int32_t cxt_abi_version() { return 4; }
 
 }  // extern "C"

@@ -36,7 +36,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["decode_residual_bits", "decode_residual_bits_reference"]
+__all__ = ["decode_residual_bits", "decode_residual_bits_stream",
+           "decode_residual_bits_reference",
+           "decode_residual_bits_stream_reference"]
 
 
 def _u(x):
@@ -134,6 +136,192 @@ def decode_residual_bits(slots, deltas, ks, ps, orders, pbits, vflags, warm,
     warm_t = jnp.pad(warm, ((0, 0), (0, T - warm.shape[1])))
     return jnp.where(t < orders[:, None], warm_t,
                      jnp.where(d > 0, res, 0))
+
+
+def _clz32(x):
+    """Count leading zeros of int32 lanes (32 for zero); SWAR popcount."""
+    v = _u(x)
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return 32 - ((v * 0x01010101) >> 24).astype(jnp.int32)
+
+
+@partial(jax.jit,
+         static_argnames=("n_parts_max", "sa", "chunk"))
+def decode_residual_bits_stream(stream, bases, ks, ps, orders, pbits, flags,
+                                warm, lengths, n_parts_max=1, sa=8,
+                                chunk=32):
+    """Stream-gather entropy decode: the minimal-uplink production kernel.
+
+    Instead of host-relocated slots, the raw frame-section words cross the
+    link ONCE (at the compressed stream's ~1.2 bytes/sample -- the uplink
+    floor) and each 32-sample chunk's words are gathered on device from
+    its base bit position. Codes are then parsed by an in-chunk
+    ``lax.scan`` -- 32 sequential steps, each decoding one code per
+    (lane, chunk) element, so the whole batch still advances
+    lanes x chunks codes per step. The host guarantees every code
+    (with its Rice parameter) fits a 64-bit window (walk_stream_bits caps
+    q + 1 + k + pbits <= 64; larger codes take the sample path).
+
+    Args:
+      stream:  (W,) int32 big-endian-packed bits of the frame sections.
+      bases:   (L, NC) int32 absolute bit position of each chunk's first
+               code (including the Rice parameter when the chunk opens a
+               partition). Padding rows/columns: any value (masked).
+      ks:      (L, P) int32 per-partition Rice parameters.
+      ps:      (L,) samples per partition; orders: (L,) predictor orders;
+      pbits:   (L,) Rice parameter width; flags: (L,) bit0 verbatim, bit1
+               no-residual-codes; warm: (L, 32); lengths: (L,) block size.
+      sa:      static words gathered per chunk (>= the bucket's slot class
+               + 1 for the word-alignment slack).
+      chunk:   static samples per chunk (32, matching walk_stream_bits).
+
+    Returns:
+      (L, NC*chunk) int32 -- warm-up ++ residuals, zeros at padding.
+    """
+    L, NC = bases.shape
+    T = NC * chunk
+    W = stream.shape[0]
+
+    # Gather chunk words straight from the stream, laid out (SA, NC, L) so
+    # every per-step operand keeps L as the (TPU-native) minor dimension.
+    wi0 = bases >> 5
+    idx = (wi0.T[None, :, :] +
+           jnp.arange(sa, dtype=jnp.int32)[:, None, None])
+    slots = jnp.take(stream, jnp.clip(idx, 0, W - 1), axis=0)
+    cursor0 = (bases & 31).T  # (NC, L)
+
+    c_col = jnp.arange(NC, dtype=jnp.int32)[:, None]  # (NC, 1)
+    order_b = orders[None, :]
+    ps_b = jnp.maximum(ps, 1)[None, :]
+    k_rows = [ks[:, j][None, :] for j in range(n_parts_max)]
+    pb_b = pbits[None, :]
+    verb = (flags[None, :] & 1) != 0
+    has_codes = (flags[None, :] & 2) == 0
+    len_b = lengths[None, :]
+
+    def step(cursor, j):
+        t = c_col * chunk + j  # (NC, 1) broadcasting against (NC, L)
+        active = (t >= order_b) & (t < len_b) & has_codes
+        if n_parts_max > 1:
+            p = jnp.zeros((NC, L), dtype=jnp.int32)
+            for m in range(1, n_parts_max):
+                p = p + _i(t >= m * ps_b)
+            k = k_rows[0] + jnp.zeros((NC, L), dtype=jnp.int32)
+            for m in range(1, n_parts_max):
+                k = jnp.where(p == m, k_rows[m], k)
+        else:
+            p = jnp.zeros((NC, L), dtype=jnp.int32)
+            k = k_rows[0] + jnp.zeros((NC, L), dtype=jnp.int32)
+        first = t == jnp.where(p == 0, order_b, p * ps_b)
+        pos = cursor + jnp.where(first & ~verb, pb_b, 0)
+
+        wi = jnp.clip(pos >> 5, 0, sa - 1)
+        off = pos & 31
+        w0 = jnp.zeros((NC, L), dtype=jnp.int32)
+        w1 = jnp.zeros((NC, L), dtype=jnp.int32)
+        w2 = jnp.zeros((NC, L), dtype=jnp.int32)
+        for jj in range(sa):
+            s_j = slots[jj]
+            w0 = jnp.where(wi == jj, s_j, w0)
+            if jj >= 1:
+                w1 = jnp.where(wi == jj - 1, s_j, w1)
+            if jj >= 2:
+                w2 = jnp.where(wi == jj - 2, s_j, w2)
+
+        sh = _u(jnp.where(off == 0, 1, 32 - off))
+        hi = _i(_u(w0) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w1) >> sh))
+        lo = _i(_u(w1) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w2) >> sh))
+
+        # Rice: quotient = leading zeros of the 64-bit window.
+        z = jnp.where(hi != 0, _clz32(hi), 32 + _clz32(lo))
+        s1 = z + 1  # in [1, 64]
+        rhi = jnp.where(
+            s1 < 32,
+            _i(_u(hi) << _u(jnp.minimum(s1, 31))) |
+            _i(_u(lo) >> _u(jnp.clip(32 - s1, 1, 31))),
+            _i(_u(lo) << _u(jnp.clip(s1 - 32, 0, 31))))
+        r = jnp.where(k == 0, 0,
+                      _i(_u(rhi) >> _u(jnp.where(k == 0, 1, 32 - k))))
+        v = _i((_u(z) << _u(k)) | _u(r))
+        rice = jnp.where(v & 1, _i(~(_u(v) >> 1)), _i(_u(v) >> 1))
+
+        # Verbatim: sign-extend the k-bit field at the window start.
+        rv = jnp.where(k == 0, 0,
+                       _i(_u(hi) >> _u(jnp.where(k == 0, 1, 32 - k))))
+        sbit = _i(_u(jnp.int32(1)) << _u(jnp.maximum(k - 1, 0)))
+        vb = (rv ^ sbit) - sbit
+
+        res = jnp.where(verb, vb, rice)
+        adv = jnp.where(verb, k, s1 + k)
+        cursor = jnp.where(active, pos + adv, cursor)
+        return cursor, jnp.where(active, res, 0)
+
+    _, ys = jax.lax.scan(step, cursor0, jnp.arange(chunk, dtype=jnp.int32))
+    x = ys.transpose(2, 1, 0).reshape(L, T)
+
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    warm_t = jnp.pad(warm, ((0, 0), (0, T - warm.shape[1])))
+    return jnp.where(t < orders[:, None], warm_t, x)
+
+
+def decode_residual_bits_stream_reference(stream, bases, ks, ps, orders,
+                                          pbits, flags, warm, lengths,
+                                          n_parts_max=1, chunk=32):
+    """Pure-Python oracle of the stream-gather kernel, for tests."""
+    stream = np.asarray(stream).view(np.uint32)
+
+    def bit(i):
+        return (int(stream[i >> 5]) >> (31 - (i & 31))) & 1
+
+    def read(pos, n):
+        v = 0
+        for j in range(n):
+            v = (v << 1) | bit(pos + j)
+        return v
+
+    L, NC = np.asarray(bases).shape
+    T = NC * chunk
+    out = np.zeros((L, T), dtype=np.int32)
+    for l in range(L):
+        if flags[l] & 2:
+            pass  # constant: no codes
+        elif lengths[l]:
+            for c in range(NC):
+                cur = int(bases[l, c])
+                for j in range(chunk):
+                    t = c * chunk + j
+                    if t < orders[l] or t >= lengths[l]:
+                        continue
+                    p = min(t // max(int(ps[l]), 1), n_parts_max - 1)
+                    k = int(ks[l, p])
+                    first = t == (int(orders[l]) if p == 0
+                                  else p * int(ps[l]))
+                    if flags[l] & 1:  # verbatim
+                        r = read(cur, k)
+                        out[l, t] = r - (1 << k) if r >= (1 << (k - 1)) \
+                            else r
+                        cur += k
+                        continue
+                    if first:
+                        cur += int(pbits[l])
+                    z = 0
+                    while not bit(cur + z):
+                        z += 1
+                    r = read(cur + z + 1, k) if k else 0
+                    v = ((z << k) | r) & 0xFFFFFFFF
+                    out[l, t] = np.int32(np.uint32(
+                        ~(v >> 1) & 0xFFFFFFFF if v & 1 else v >> 1))
+                    cur += z + 1 + k
+        for t in range(min(int(orders[l]), T)):
+            out[l, t] = warm[l, t]
+    return out
 
 
 def decode_residual_bits_reference(slots, deltas, ks, ps, orders, pbits,

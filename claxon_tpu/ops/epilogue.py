@@ -75,8 +75,13 @@ def apply_epilogue(samples, wasted, pair_modes):
     return jnp.stack([out0, out1], axis=1).reshape(L, T)
 
 
-def pack_int16_pairs(out):
+def pack_int16_pairs(out, per_lane=False):
     """Pack (L, T) int32 samples into ((L, T//2) int32, overflow flag).
+
+    ``per_lane=True`` reduces the overflow flag only along the time axis,
+    returning an (L,) vector: under lane sharding the scalar flag would
+    need an all-reduce, and the decode pipeline is otherwise
+    collective-free by design.
 
     Device-side transfer compression: 16-bit audio (the overwhelmingly
     common case) fits every decoded sample in int16, so the PCM crosses the
@@ -88,7 +93,8 @@ def pack_int16_pairs(out):
     """
     lo = out[:, 0::2] & jnp.int32(0xFFFF)
     hi = out[:, 1::2] << 16
-    overflow = jnp.any((out > 32767) | (out < -32768))
+    oob = (out > 32767) | (out < -32768)
+    overflow = jnp.any(oob, axis=1) if per_lane else jnp.any(oob)
     return hi | lo, overflow.astype(jnp.int32)
 
 

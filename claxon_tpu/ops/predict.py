@@ -85,14 +85,19 @@ def synthesize(x, coefs, shifts, orders, lengths=None, unroll=4):
     return out.T
 
 
-def synthesize_best(x, coefs, shifts, orders, lengths=None):
-    """Synthesize with the fastest backend for the current platform:
+def synthesize_best(x, coefs, shifts, orders, lengths=None, platform=None):
+    """Synthesize with the fastest backend for the target platform:
     the hand-scheduled Pallas kernel on TPU (~1.7x the XLA scan, measured
     on v5e; see ops/pallas_synth.py), the XLA scan elsewhere. Both are
-    bit-exact; CLAXON_TPU_NO_PALLAS=1 forces the XLA path."""
+    bit-exact; CLAXON_TPU_NO_PALLAS=1 forces the XLA path.
+
+    ``platform`` overrides the default-device inference -- mesh-sharded
+    programs must pass the MESH's platform (a CPU mesh on a TPU-default
+    process would otherwise trace the Pallas kernel onto CPU)."""
     import os
-    if (jax.devices()[0].platform == "tpu"
-            and not os.environ.get("CLAXON_TPU_NO_PALLAS")):
+    if platform is None:
+        platform = jax.devices()[0].platform
+    if (platform == "tpu" and not os.environ.get("CLAXON_TPU_NO_PALLAS")):
         from .pallas_synth import synthesize_pallas
         return synthesize_pallas(x, coefs, shifts, orders, lengths)
     return synthesize(x, coefs, shifts, orders, lengths)

@@ -97,11 +97,35 @@ def decode_batch_sharded(batch, mesh=None):
 def decode_streams_sharded(datas, mesh=None, use_native=True):
     """Decode many FLAC streams with frames sharded across all chips --
     the multi-chip corpus-decode entry point (pure data parallelism; see
-    the package docstring)."""
-    from ..pipeline import decode_batches, _extract
+    the package docstring).
+
+    With the native core this is the full bits pipeline sharded over the
+    mesh: on-device entropy decode, async dispatch, int16-packed chunked
+    fetch -- the single-chip path's engineering, lane-sharded. The
+    FrameDesc fallback (no native core) routes through the synchronous
+    FrameDesc packer with the sharded synthesis step.
+    """
+    import os
+
+    from ..pipeline import decode_batches, _extract, _native_mod
 
     if mesh is None:
         mesh = make_mesh()
+    if use_native and not os.environ.get("CLAXON_TPU_NO_BITS"):
+        native = _native_mod()
+        if native is not None:
+            from ..pipeline_bits import decode_raw_bits_device
+
+            mode = os.environ.get("CLAXON_TPU_ENTROPY", "stream")
+            if mode not in ("stream", "delta"):
+                mode = "stream"
+            if mode == "stream" and sum(len(d) for d in datas) >= (1 << 27):
+                mode = "delta"
+            braws = [native.extract_stream_bits(
+                d, emit_slots=(mode == "delta")) for d in datas]
+            return decode_raw_bits_device(
+                braws, lane_quantum(mesh), mode,
+                mesh=mesh).start_fetch().to_host()
     step = make_decode_step(mesh)
     return decode_batches([_extract(d, use_native) for d in datas],
                           decode_bucket=step,

@@ -303,7 +303,7 @@ class DeviceDecoded:
 
     @staticmethod
     def _fetch_bucket(d):
-        if d.packed and int(np.asarray(d.flag)):
+        if d.packed and bool(np.asarray(d.flag).any()):
             return np.asarray(d.out_full)  # rare: invalid-stream garbage
         out = np.concatenate([np.asarray(c) for c in d.chunks])
         if d.packed:
@@ -625,10 +625,13 @@ def decode_streams_device(datas, use_native=True,
     """Decode many FLAC streams into device-resident PCM buckets -- the
     zero-host-round-trip path for feeding TPU consumers directly.
 
-    With the native core available this takes the bits path (residual bits
-    + per-sample gaps to the device, entropy decode on-chip; see
-    pipeline_bits). CLAXON_TPU_NO_BITS=1 forces the legacy sample-shipping
-    path for comparison/debugging; both are bit-exact.
+    With the native core available this takes the bits path (the entropy
+    decode runs on-chip; see pipeline_bits). CLAXON_TPU_ENTROPY selects
+    the kernel: "stream" (default -- raw frame words ship once, chunk
+    gather + in-chunk scan on device, minimal uplink) or "delta"
+    (host-relocated slots + per-sample gap bytes, fully parallel).
+    CLAXON_TPU_NO_BITS=1 forces the legacy sample-shipping path. All
+    paths are bit-exact.
     """
     import os
 
@@ -637,8 +640,18 @@ def decode_streams_device(datas, use_native=True,
         if native is not None:
             if not os.environ.get("CLAXON_TPU_NO_BITS"):
                 from .pipeline_bits import decode_raw_bits_device
-                braws = [native.extract_stream_bits(d) for d in datas]
-                return decode_raw_bits_device(braws, lane_quantum)
+                mode = os.environ.get("CLAXON_TPU_ENTROPY", "stream")
+                if mode not in ("stream", "delta"):
+                    mode = "stream"
+                # The stream kernel's chunk bases are int32 bit offsets
+                # into the batch-wide upload; oversized batches take the
+                # per-lane slot path instead.
+                if mode == "stream" and sum(
+                        len(d) for d in datas) >= (1 << 27):
+                    mode = "delta"
+                braws = [native.extract_stream_bits(
+                    d, emit_slots=(mode == "delta")) for d in datas]
+                return decode_raw_bits_device(braws, lane_quantum, mode)
             raws = [native.extract_stream_raw(d) for d in datas]
             return decode_raw_batches_device(raws, lane_quantum)
     return decode_batches_device([_extract(d, use_native) for d in datas],

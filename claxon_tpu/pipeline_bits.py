@@ -45,46 +45,145 @@ def _jnp():
 
 
 @lru_cache(maxsize=None)
-def _bits_program(n_parts_max, sa, out_packed, chunked=True):
+def _bits_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
     """The fused bits-bucket program: entropy decode -> synthesis ->
     epilogue -> transfer packing, compiled once per (shape, P, packing).
     ``slots`` crosses the link flat (L, NC*sa) -- see decode_residual_bits
     on why a minor dimension of sa would inflate the transfer."""
-    import jax
-
     from .ops.predict import synthesize_best
     from .pipeline import _split_lanes, _FETCH_CHUNKS
 
-    @jax.jit
+    platform = None if mesh is None else mesh.devices.flat[0].platform
+    # Per-lane fetch chunks sliced from a lane-sharded array would force
+    # GSPMD to replicate each slice (an all-reduce per chunk); under a mesh
+    # the whole lane-sharded output IS the per-shard transfer unit.
+    n_chunks = _FETCH_CHUNKS if mesh is None else 1
+
     def prog(slots, deltas, ks, meta):
         # One coalesced int32 metadata array per bucket: every per-lane
         # scalar/vector rides a single transfer (each h2d on the tunneled
         # backend pays a round trip, so 13 arrays/bucket was ~3x slower to
-        # dispatch than 4). Layout matches _META_COLS.
+        # dispatch than 4). Layout: see the _META_W comment.
         L = meta.shape[0]
-        orders, shifts, wasted, ps, pbits, vflags, lengths = (
+        orders, shifts, wasted, ps, pbits, flags, lengths = (
             meta[:, i] for i in range(7))
-        pair_modes = meta[:L // 2, 7]
+        pair_modes = meta[:, 7].reshape(L // 2, 2)[:, 0]
         warm = meta[:, 8:40]
         coefs = meta[:, 40:72]
         x = decode_residual_bits(slots, deltas, ks, ps, orders, pbits,
-                                 vflags, warm, n_parts_max=n_parts_max,
+                                 flags & 1, warm, n_parts_max=n_parts_max,
                                  sa=sa)
-        out = synthesize_best(x, coefs, shifts, orders, lengths)
+        out = synthesize_best(x, coefs, shifts, orders, lengths,
+                              platform=platform)
         out = apply_epilogue(out, wasted, pair_modes)
         if not chunked:
             return out
         if out_packed:
-            packed, flag = pack_int16_pairs(out)
-            return out, flag, _split_lanes(packed, _FETCH_CHUNKS)
-        return out, _split_lanes(out, _FETCH_CHUNKS)
+            packed, flag = pack_int16_pairs(out, per_lane=mesh is not None)
+            return out, flag, _split_lanes(packed, n_chunks)
+        return out, _split_lanes(out, n_chunks)
 
-    return prog
+    return _jit_bucket_program(prog, mesh, stream_arg=False)
 
 
-#: meta columns: 0 order, 1 shift, 2 wasted, 3 ps, 4 pbits, 5 vflags,
-#: 6 length, 7 pair_mode (rows [0, L//2)), 8:40 warm-up, 40:72 coefs.
+#: meta columns: 0 order, 1 shift, 2 wasted, 3 ps, 4 pbits, 5 flags,
+#: 6 length, 7 pair mode (on both lanes of a pair), 8:40 warm-up,
+#: 40:72 coefs.
 _META_W = 72
+
+#: stream upload padded to this many words, so corpora of nearby sizes
+#: share one compiled program (XLA shapes are static).
+_STREAM_QUANTUM = 1 << 16
+
+
+def _jit_bucket_program(fn, mesh, stream_arg=False):
+    """jit a bucket program, lane-sharding every per-lane input over the
+    mesh when one is given (the shared stream upload is replicated; lanes
+    are independent, so the compiled program stays collective-free)."""
+    import jax
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.mesh import LANE_AXIS
+
+    lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
+    repl = NamedSharding(mesh, PartitionSpec())
+    if stream_arg:
+        in_shardings = (repl, lanes, lanes, lanes)
+    else:
+        in_shardings = (lanes, lanes, lanes, lanes)
+    return jax.jit(fn, in_shardings=in_shardings)
+
+
+@lru_cache(maxsize=None)
+def _stream_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
+    """The minimal-uplink bits program: the raw frame-section words cross
+    the link once; chunk words are gathered on device and parsed by the
+    in-chunk scan (ops.entropy.decode_residual_bits_stream)."""
+    from .ops.entropy import decode_residual_bits_stream
+    from .ops.predict import synthesize_best
+    from .pipeline import _split_lanes, _FETCH_CHUNKS
+
+    platform = None if mesh is None else mesh.devices.flat[0].platform
+    n_chunks = _FETCH_CHUNKS if mesh is None else 1  # see _bits_program
+
+    def prog(stream, bases, ks, meta):
+        L = meta.shape[0]
+        orders, shifts, wasted, ps, pbits, flags, lengths = (
+            meta[:, i] for i in range(7))
+        # Column 7 carries the frame's channel-assignment mode on BOTH
+        # lanes of a stereo pair; the pair vector falls out of a reshape,
+        # which stays local under lane sharding (a [:L//2] slice would
+        # cross shard boundaries).
+        pair_modes = meta[:, 7].reshape(L // 2, 2)[:, 0]
+        warm = meta[:, 8:40]
+        coefs = meta[:, 40:72]
+        x = decode_residual_bits_stream(stream, bases, ks, ps, orders,
+                                        pbits, flags, warm, lengths,
+                                        n_parts_max=n_parts_max, sa=sa)
+        out = synthesize_best(x, coefs, shifts, orders, lengths,
+                              platform=platform)
+        out = apply_epilogue(out, wasted, pair_modes)
+        if not chunked:
+            return out
+        if out_packed:
+            packed, flag = pack_int16_pairs(out, per_lane=mesh is not None)
+            return out, flag, _split_lanes(packed, n_chunks)
+        return out, _split_lanes(out, n_chunks)
+
+    return _jit_bucket_program(prog, mesh, stream_arg=True)
+
+
+@lru_cache(maxsize=None)
+def _sample_program_sharded(in_packed, out_packed, mesh):
+    """Mesh-sharded variant of pipeline._decode_program for the bits
+    pipeline's fallback (sample-shipping) buckets."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .ops.epilogue import unpack_int16_pairs
+    from .ops.predict import synthesize_best
+    from .parallel.mesh import LANE_AXIS
+    from .pipeline import _split_lanes, _FETCH_CHUNKS
+
+    lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
+    vec = NamedSharding(mesh, PartitionSpec(LANE_AXIS))
+    platform = mesh.devices.flat[0].platform
+
+    def prog(x, coefs, shifts, orders, wasted, pair_modes, lengths):
+        if in_packed:
+            x = unpack_int16_pairs(x)
+        out = synthesize_best(x, coefs, shifts, orders, lengths,
+                              platform=platform)
+        out = apply_epilogue(out, wasted, pair_modes)
+        if out_packed:
+            packed, flag = pack_int16_pairs(out, per_lane=True)
+            return out, flag, _split_lanes(packed, 1)
+        return out, _split_lanes(out, 1)
+
+    return jax.jit(prog, in_shardings=(lanes, lanes, vec, vec, vec, vec,
+                                       vec))
 
 
 def _runs(recs):
@@ -103,12 +202,21 @@ def _runs(recs):
         i = j + 1
 
 
-def decode_raw_bits_device(braws, lane_quantum=None):
+def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
+                           mesh=None):
     """Decode [(streaminfo, BitsBatch), ...] into a DeviceDecoded.
 
-    Semantically identical to the sample path (``decode_streams_device``
-    with the legacy extractor); bit-exactness is enforced by the shared
-    MD5/differential test suite.
+    ``mode="stream"`` (production): the raw frame-section words ship once
+    and the device gathers + scans each chunk (minimal uplink bytes).
+    ``mode="delta"``: host-relocated slots + per-sample gap bytes feed the
+    fully-parallel kernel (requires extraction with emit_slots=True).
+    Both are bit-exact against the sample path and the MD5 oracle.
+
+    ``mesh``: a 1-D jax.sharding.Mesh shards every bucket's lane axis as
+    pure data parallelism (the stream upload is replicated; no program
+    contains a collective -- frames are independent). Callers should pass
+    ``parallel.mesh.lane_quantum(mesh)`` so every shard gets an equal,
+    pair-aligned lane count.
     """
     from .error import fmt_err
     from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
@@ -119,6 +227,34 @@ def decode_raw_bits_device(braws, lane_quantum=None):
     if lane_quantum is None:
         lane_quantum = _L_QUANTUM
     jnp = _jnp()
+
+    # Stream mode: one shared upload of every stream's frame-section words
+    # (big-endian bit order, int32), chunk bases rebased into it.
+    stream_dev = None
+    stream_bit_off = []
+    if mode == "stream":
+        sizes = [len(b.payload) for _si, b in braws]
+        wcs = [(s + 3) // 4 for s in sizes]
+        total_w = sum(wcs)
+        total_q = -(-max(total_w, 1) // _STREAM_QUANTUM) * _STREAM_QUANTUM
+        buf = np.zeros(total_q * 4, dtype=np.uint8)
+        off = 0
+        for (si_, b), s, wc in zip(braws, sizes, wcs):
+            buf[off:off + s] = np.frombuffer(b.payload, dtype=np.uint8)
+            stream_bit_off.append(off * 8)
+            off += wc * 4
+        stream = buf.view(">i4").astype(np.int32)
+        if mesh is not None:
+            # Replicate explicitly on the mesh's devices (the default
+            # device may be a different backend than the mesh).
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            stream_dev = jax.device_put(
+                stream, NamedSharding(mesh, PartitionSpec()))
+        else:
+            stream_dev = jnp.asarray(stream)
+
+    upload_bytes = 0 if stream_dev is None else stream_dev.nbytes
 
     results, pcms = [], []
     bit_groups, smp_groups = {}, {}
@@ -139,13 +275,16 @@ def decode_raw_bits_device(braws, lane_quantum=None):
         lane_fb = np.repeat(fb_v, nch_v)
         lane_bs = np.repeat(bs_v, nch_v)
         lane_slot = np.repeat(nc_v * sa_v, nch_v)
+        lane_nc = np.repeat(nc_v, nch_v)
         d_sz = np.where(lane_fb, 0, lane_bs)
         s_sz = np.where(lane_fb, 0, lane_slot)
         x_sz = np.where(lane_fb, lane_bs, 0)
+        b_sz = np.where(lane_fb, 0, lane_nc)
         k_sz = bb.bsubs["n_parts"].astype(np.int64)
         d_off = np.concatenate([[0], np.cumsum(d_sz)[:-1]])
         s_off = np.concatenate([[0], np.cumsum(s_sz)[:-1]])
         x_off = np.concatenate([[0], np.cumsum(x_sz)[:-1]])
+        b_off = np.concatenate([[0], np.cumsum(b_sz)[:-1]])
         k_off = np.concatenate([[0], np.cumsum(k_sz)[:-1]])
 
         total = int(bs_v.sum())
@@ -164,7 +303,7 @@ def decode_raw_bits_device(braws, lane_quantum=None):
                    "out0": int(out0_v[i]), "nc": int(nc_v[i]),
                    "sa": int(sa_v[i]), "d0": int(d_off[lane]),
                    "s0": int(s_off[lane]), "x0": int(x_off[lane]),
-                   "k0": int(k_off[lane])}
+                   "k0": int(k_off[lane]), "b0": int(b_off[lane])}
             t_bucket = _t_bucket_of(rec["bs"])
             if fb_v[i]:
                 smp_groups.setdefault((t_bucket, rec["nch"]),
@@ -184,13 +323,17 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             int(r["bb"].bsubs["n_parts"][r["lane"] + c])
             for r in recs for c in range(r["nch"])))
 
-        # The slot buffer is deliberately NOT zeroed: the kernel reads only
-        # word indices inside each lane's copied chunks, and padding lanes'
-        # outputs are forced to zero by their all-zero deltas, so leftover
-        # heap content never reaches any decoded sample.
-        slots = np.empty((L, NC * SA), dtype=np.int32)
-        slots3 = slots.reshape(L, NC, SA)  # host-side fill view
-        deltas = np.zeros((L, T_ext), dtype=np.uint8)
+        if mode == "stream":
+            bases = np.zeros((L, NC), dtype=np.int32)
+            slots = slots3 = deltas = None
+        else:
+            # The slot buffer is deliberately NOT zeroed: the kernel reads
+            # only word indices inside each lane's copied chunks, and
+            # padding lanes' outputs are forced to zero by their all-zero
+            # deltas, so leftover heap content never reaches any sample.
+            slots = np.empty((L, NC * SA), dtype=np.int32)
+            slots3 = slots.reshape(L, NC, SA)  # host-side fill view
+            deltas = np.zeros((L, T_ext), dtype=np.uint8)
         ks = np.zeros((L, P), dtype=np.int32)
         meta = np.zeros((L, _META_W), dtype=np.int32)
 
@@ -204,12 +347,17 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             sub0 = run[0]["lane"]
             plan.append((run[0]["si"], run[0]["out0"], len(run), bs, n_ch,
                          lane))
-            deltas[lane:lane + nl, :bs] = \
-                bb.deltas[run[0]["d0"]:run[0]["d0"] + nl * bs].reshape(
-                    nl, bs)
-            slots3[lane:lane + nl, :nc, :] = \
-                bb.slots[run[0]["s0"]:run[0]["s0"] + nl * nc * SA].reshape(
-                    nl, nc, SA)
+            if mode == "stream":
+                bases[lane:lane + nl, :nc] = \
+                    bb.bases[run[0]["b0"]:run[0]["b0"] + nl * nc].reshape(
+                        nl, nc) + stream_bit_off[run[0]["si"]]
+            else:
+                deltas[lane:lane + nl, :bs] = \
+                    bb.deltas[run[0]["d0"]:run[0]["d0"] + nl * bs].reshape(
+                        nl, bs)
+                slots3[lane:lane + nl, :nc, :] = \
+                    bb.slots[run[0]["s0"]:run[0]["s0"] + nl * nc * SA] \
+                    .reshape(nl, nc, SA)
             subs = bb.bsubs[sub0:sub0 + nl]
             m = meta[lane:lane + nl]
             m[:, 0] = subs["order"]
@@ -217,7 +365,7 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             m[:, 2] = subs["wasted"]
             m[:, 3] = subs["ps"]
             m[:, 4] = subs["pbits"]
-            m[:, 5] = subs["flags"] & 1
+            m[:, 5] = subs["flags"]
             m[:, 6] = bs
             m[:, 8:40] = subs["warm"]
             m[:, 40:72] = subs["coefs"]
@@ -227,14 +375,22 @@ def decode_raw_bits_device(braws, lane_quantum=None):
                 ks[lane + j, :nparts] = bb.ks[ko:ko + nparts]
                 ko += nparts
             if n_ch == 2:
-                meta[lane // 2:lane // 2 + len(run), 7] = \
-                    [r["mode"] for r in run]
+                meta[lane:lane + nl, 7] = np.repeat(
+                    [r["mode"] for r in run], 2)
             out_packed = out_packed and all(r["bps"] <= 16 for r in run)
             lane += nl
 
-        prog = _bits_program(P, SA, out_packed)
-        args = (jnp.asarray(slots), jnp.asarray(deltas), jnp.asarray(ks),
-                jnp.asarray(meta))
+        if mode == "stream":
+            prog = _stream_program(P, SA, out_packed, mesh=mesh)
+            args = (stream_dev, jnp.asarray(bases), jnp.asarray(ks),
+                    jnp.asarray(meta))
+            upload_bytes += bases.nbytes + ks.nbytes + meta.nbytes
+        else:
+            prog = _bits_program(P, SA, out_packed, mesh=mesh)
+            args = (jnp.asarray(slots), jnp.asarray(deltas),
+                    jnp.asarray(ks), jnp.asarray(meta))
+            upload_bytes += (slots.nbytes + deltas.nbytes + ks.nbytes +
+                             meta.nbytes)
         if out_packed:
             out, flag, chunks = prog(*args)
             dispatches.append(_BucketDispatch([], n_ch, out, chunks, True,
@@ -286,7 +442,9 @@ def decode_raw_bits_device(braws, lane_quantum=None):
             x = _pack_input_i16(x)
         out_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
                       all(r["bps"] <= 16 for r in recs))
-        prog = _decode_program(in_packed, out_packed)
+        upload_bytes += x.nbytes
+        prog = (_decode_program(in_packed, out_packed) if mesh is None
+                else _sample_program_sharded(in_packed, out_packed, mesh))
         args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
                 jnp.asarray(orders), jnp.asarray(wasted),
                 jnp.asarray(pair_modes), jnp.asarray(lengths))
@@ -301,4 +459,5 @@ def decode_raw_bits_device(braws, lane_quantum=None):
 
     dd = DeviceDecoded(results, [], [], dispatches)
     dd._raw_plans = (plans, pcms)
+    dd.upload_bytes = upload_bytes  # link-budget accounting (bench.py)
     return dd

@@ -199,6 +199,51 @@ def test_bits_pipeline_end_to_end_corpus():
         assert _md5_ok(dec)
 
 
+def test_stream_kernel_matches_reference():
+    """The stream-gather scan kernel vs its pure-Python oracle on a real
+    encoded stream (covers rice, verbatim, constant, partition switches)."""
+    from claxon_tpu.ops.entropy import (
+        decode_residual_bits_stream, decode_residual_bits_stream_reference)
+
+    pcm = synth_music(4096 * 3, channels=2, bps=16, seed=9)
+    data = encode_flac(pcm, 44100, 16, block_size=4096, partition_order=3)
+    si, bb = native.extract_stream_bits(data, emit_slots=False)
+    payload = bytes(bb.payload)
+    pad = (-len(payload)) % 4
+    stream = np.frombuffer(payload + b"\x00" * pad, dtype=">i4") \
+        .astype(np.int32)
+
+    L = len(bb.bsubs)
+    NC = int(bb.bsubs["n_chunks"].max())
+    SA = int(bb.bframes["s_class"].max()) + 1
+    P = int(bb.bsubs["n_parts"].max())
+    bases = np.zeros((L, NC), np.int32)
+    ks = np.zeros((L, P), np.int32)
+    b_off = k_off = 0
+    for i, sub in enumerate(bb.bsubs):
+        nc, nparts = int(sub["n_chunks"]), int(sub["n_parts"])
+        bases[i, :nc] = bb.bases[b_off:b_off + nc]
+        ks[i, :nparts] = bb.ks[k_off:k_off + nparts]
+        b_off += nc
+        k_off += nparts
+    lengths = np.repeat(bb.bframes["block_size"],
+                        bb.bframes["channels"]).astype(np.int32)
+    args = (stream, bases, ks, bb.bsubs["ps"], bb.bsubs["order"],
+            bb.bsubs["pbits"], bb.bsubs["flags"], bb.bsubs["warm"], lengths)
+    got = np.asarray(decode_residual_bits_stream(*args, n_parts_max=P,
+                                                 sa=SA))
+    want = decode_residual_bits_stream_reference(*args, n_parts_max=P)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("entropy", ["stream", "delta"])
+def test_entropy_modes_end_to_end(monkeypatch, entropy):
+    monkeypatch.setenv("CLAXON_TPU_ENTROPY", entropy)
+    datas = [p.read_bytes() for p in sorted(GENERATED.glob("*.flac"))]
+    for dec in decode_streams(datas):
+        assert _md5_ok(dec)
+
+
 def test_bits_pipeline_matches_legacy_path(monkeypatch):
     """CLAXON_TPU_NO_BITS selects the sample-shipping path; both paths
     must produce identical DecodedStreams."""
