@@ -4,7 +4,9 @@ The reference's container examples decode frame-at-a-time on the CPU; here
 the same demux layers feed the batched device pipeline: Ogg audio packets
 are whole consecutive FLAC frames (one per packet) and MP4 chunks are runs
 of consecutive frames, so concatenating them reconstitutes a plain frame
-section that ``claxon_tpu.pipeline`` decodes at full throughput.
+section. With the native core that section rides the flagship bits
+pipeline (boundary-only host walk, on-device entropy decode --
+``pipeline_bits``); otherwise the FrameDesc path decodes it.
 """
 
 import io as _io
@@ -29,6 +31,33 @@ def _extract_section(payload, use_native, max_frames=None):
     return extract_frames(MemReader(payload), max_frames=max_frames)
 
 
+#: merged container payloads past this use the FrameDesc path -- chunk
+#: bit bases are int32 positions into the stream upload (see pipeline.py's
+#: matching gate on whole-stream batches).
+_BITS_PAYLOAD_CAP = 1 << 27
+
+
+def _bits_native(use_native):
+    """The native module when the bits fast path applies, else None."""
+    import os
+
+    from ..pipeline import _native_mod
+
+    if not use_native or os.environ.get("CLAXON_TPU_NO_BITS"):
+        return None
+    return _native_mod()
+
+
+def _decode_frames_bits(streaminfo, batches, native):
+    """Decode merged per-chunk BitsBatches through the flagship bits
+    pipeline (on-device entropy decode; see pipeline_bits)."""
+    from ..pipeline_bits import decode_raw_bits_device
+
+    bb = native.merge_bits_batches(batches)
+    dd = decode_raw_bits_device([(streaminfo, bb)])
+    return dd.start_fetch().to_host()[0]
+
+
 def _decode_frames(streaminfo, frames):
     from ..extract import StreamBatch
     from ..pipeline import decode_batch
@@ -50,6 +79,10 @@ def decode_ogg_stream(data, use_native=True, verify_crc=True):
     # Every audio packet is exactly one frame, so the concatenation is a
     # plain frame section.
     payload = b"".join(p for p in audio_packets if p)
+    native = _bits_native(use_native)
+    if native is not None and len(payload) < _BITS_PAYLOAD_CAP:
+        bb = native.extract_frames_bits(payload, emit_slots=False)
+        return _decode_frames_bits(streaminfo, [bb], native)
     return _decode_frames(streaminfo,
                           _extract_section(payload, use_native))
 
@@ -66,7 +99,9 @@ def decode_mp4_stream(data, use_native=True):
     sorted_offsets = sorted(o for o, n in
                             zip(track.chunk_offsets,
                                 track.samples_per_chunk) if n)
-    frames = []
+    native = _bits_native(use_native)
+    use_bits = native is not None and len(data) < _BITS_PAYLOAD_CAP
+    frames, batches = [], []
     for offset, n in zip(track.chunk_offsets, track.samples_per_chunk):
         if not n:
             continue
@@ -76,8 +111,22 @@ def decode_mp4_stream(data, use_native=True):
         end = nxt[0] if nxt else len(data)
         # A chunk holds exactly n frames; the bounded parse stops before
         # any inter-chunk slack (`examples/decode_mp4.rs:132-167`).
+        if use_bits:
+            used = []
+            bb = native.extract_frames_bits(view[offset:end],
+                                            emit_slots=False, max_frames=n,
+                                            consumed=used)
+            if len(bb.bframes) < n:
+                fmt_err("MP4 chunk ends before its declared frame count")
+            # Trim inter-chunk slack so merged chunk payloads reconstitute
+            # a contiguous frame section.
+            bb.payload = view[offset:offset + used[0]]
+            batches.append(bb)
+            continue
         got = _extract_section(view[offset:end], use_native, max_frames=n)
         if len(got) < n:
             fmt_err("MP4 chunk ends before its declared frame count")
         frames.extend(got)
+    if use_bits and batches:
+        return _decode_frames_bits(track.streaminfo, batches, native)
     return _decode_frames(track.streaminfo, frames)

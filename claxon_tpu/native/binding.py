@@ -22,6 +22,7 @@ from .build import ensure_built
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
            "extract_stream_bits", "extract_frames_bits", "BitsBatch",
+           "merge_bits_batches",
            "extract_frames", "decode_frames_limited", "decode_stream_scalar",
            "has_pack_helpers", "rows_to_i16", "minmax"]
 
@@ -305,6 +306,33 @@ def extract_stream_bits(data, emit_slots=True):
     streaminfo, pos = _read_metadata(data)
     return streaminfo, extract_frames_bits(memoryview(data)[pos:],
                                            emit_slots)
+
+
+def merge_bits_batches(batches):
+    """Concatenate BitsBatches of consecutive frame runs into one batch.
+
+    Containers split a stream's frame section into chunks (MP4 stsc runs,
+    Ogg packets); each chunk extracts independently and this stitches the
+    flat arrays back into the single-section form the device pipeline
+    expects. Chunk payloads are byte-concatenated, so every chunk's
+    ``bases`` (absolute bit positions within its own payload) is rebased
+    by the bits preceding it."""
+    if len(batches) == 1:
+        return batches[0]
+    payloads = [bytes(b.payload) for b in batches]
+    bases, bit0 = [], 0
+    for b, p in zip(batches, payloads):
+        bases.append(b.bases + np.int32(bit0))
+        bit0 += 8 * len(p)
+    cat = np.concatenate
+    return BitsBatch(cat([b.bframes for b in batches]),
+                     cat([b.bsubs for b in batches]),
+                     cat([b.deltas for b in batches]),
+                     cat([b.slots for b in batches]),
+                     cat([b.ks for b in batches]),
+                     cat([b.samples for b in batches]),
+                     cat(bases),
+                     b"".join(payloads))
 
 
 def extract_frames(payload, max_frames=None):

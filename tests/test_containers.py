@@ -264,3 +264,49 @@ def test_mp4_single_short_chunk_stsc_valid():
     from claxon_tpu.containers import decode_mp4_stream
     dec = decode_mp4_stream(mp4)
     assert np.array_equal(dec.pcm, reference_pcm(flac))
+
+
+def test_containers_take_bits_path(monkeypatch):
+    """With the native core present, Ogg and MP4 decode must route through
+    the bits pipeline (on-device entropy decode), not the FrameDesc
+    packer -- and stay bit-exact (VERDICT round-1 item 6)."""
+    from claxon_tpu import native
+    from claxon_tpu.containers import decode_mp4_stream, decode_ogg_stream
+    import claxon_tpu.containers.pipeline as cp
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    flac = make_flac()
+    want = reference_pcm(flac)
+    calls = []
+    orig = cp._decode_frames_bits
+    monkeypatch.setattr(cp, "_decode_frames_bits",
+                        lambda *a: calls.append(1) or orig(*a))
+    dec = decode_ogg_stream(mux_ogg_flac(flac))
+    assert np.array_equal(dec.pcm, want)
+    dec = decode_mp4_stream(mux_mp4_flac(flac, frames_per_chunk=2))
+    assert np.array_equal(dec.pcm, want)
+    assert len(calls) == 2
+
+
+def test_merge_bits_batches_rebases_chunk_positions():
+    """Splitting a frame section at a frame boundary and merging the two
+    bounded bits walks must reproduce the single-walk decode exactly."""
+    from claxon_tpu import native
+    from claxon_tpu.pipeline_bits import decode_raw_bits_device
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    flac = make_flac()
+    want = reference_pcm(flac)
+    si, pos = native.binding._read_metadata(flac)
+    section = memoryview(flac)[pos:]
+    used = []
+    first = native.extract_frames_bits(section, emit_slots=False,
+                                       max_frames=3, consumed=used)
+    assert len(first.bframes) == 3
+    first.payload = section[:used[0]]
+    rest = native.extract_frames_bits(section[used[0]:], emit_slots=False)
+    merged = native.merge_bits_batches([first, rest])
+    dec = decode_raw_bits_device([(si, merged)]).to_host()[0]
+    assert np.array_equal(dec.pcm, want)
