@@ -48,6 +48,12 @@ def _bits_native(use_native):
     return _native_mod()
 
 
+def _defer_crc():
+    import os
+
+    return not os.environ.get("CLAXON_TPU_HOST_CRC")
+
+
 def _decode_frames_bits(streaminfo, batches, native):
     """Decode merged per-chunk BitsBatches through the flagship bits
     pipeline (on-device entropy decode; see pipeline_bits)."""
@@ -81,7 +87,8 @@ def decode_ogg_stream(data, use_native=True, verify_crc=True):
     payload = b"".join(p for p in audio_packets if p)
     native = _bits_native(use_native)
     if native is not None and len(payload) < _BITS_PAYLOAD_CAP:
-        bb = native.extract_frames_bits(payload, emit_slots=False)
+        bb = native.extract_frames_bits(payload, emit_slots=False,
+                                        defer_crc=_defer_crc())
         return _decode_frames_bits(streaminfo, [bb], native)
     return _decode_frames(streaminfo,
                           _extract_section(payload, use_native))
@@ -115,7 +122,8 @@ def decode_mp4_stream(data, use_native=True):
             used = []
             bb = native.extract_frames_bits(view[offset:end],
                                             emit_slots=False, max_frames=n,
-                                            consumed=used)
+                                            consumed=used,
+                                            defer_crc=_defer_crc())
             if len(bb.bframes) < n:
                 fmt_err("MP4 chunk ends before its declared frame count")
             # Trim inter-chunk slack so merged chunk payloads reconstitute

@@ -22,13 +22,13 @@ from .build import ensure_built
 
 __all__ = ["available", "extract_stream", "extract_stream_raw",
            "extract_stream_bits", "extract_frames_bits", "BitsBatch",
-           "merge_bits_batches",
+           "merge_bits_batches", "crc16_bytes",
            "extract_frames", "decode_frames_limited", "decode_stream_scalar",
            "has_pack_helpers", "rows_to_i16", "minmax"]
 
 #: Expected cxt_abi_version() of the loaded .so; must move in lockstep with
 #: any change to the C-ABI struct layouts below.
-ABI_VERSION = 4
+ABI_VERSION = 5
 
 FRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                         ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4")])
@@ -38,7 +38,7 @@ SUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
 BFRAME_DTYPE = np.dtype([("time", "<i8"), ("block_size", "<i4"),
                          ("channels", "<i4"), ("mode", "<i4"), ("bps", "<i4"),
                          ("flags", "<i4"), ("s_class", "<i4"),
-                         ("pad0", "<i4"), ("pad1", "<i4")])
+                         ("byte0", "<i4"), ("byte1", "<i4")])
 BSUB_DTYPE = np.dtype([("order", "<i4"), ("shift", "<i4"), ("wasted", "<i4"),
                        ("n_parts", "<i4"), ("ps", "<i4"), ("n_chunks", "<i4"),
                        ("pbits", "<i4"), ("flags", "<i4"),
@@ -98,6 +98,8 @@ def _load():
                                      ctypes.POINTER(ctypes.c_uint64)]
         lib.cxt_b_fill.restype = None
         lib.cxt_b_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+        lib.cxt_crc16.restype = ctypes.c_int32
+        lib.cxt_crc16.argtypes = [u8p, ctypes.c_uint64]
         # A stale .so whose symbols still resolve but whose struct layouts
         # differ would corrupt memory in cxt_fill; the ABI version gate
         # turns that into the documented available() -> False fallback.
@@ -256,7 +258,7 @@ class BitsBatch:
 
 
 def extract_frames_bits(payload, emit_slots=True, max_frames=None,
-                        consumed=None):
+                        consumed=None, defer_crc=False):
     """Bits-path extraction of a stream's frame section (positioned at the
     first frame byte): the boundary-only C++ walk (walk_stream_bits in
     claxon_demux.cpp) that ships residual *bits* instead of decoded
@@ -264,7 +266,10 @@ def extract_frames_bits(payload, emit_slots=True, max_frames=None,
 
     ``max_frames`` bounds the walk (container chunks declare their frame
     count); ``consumed``, a one-element list, receives the byte length of
-    the frames actually parsed."""
+    the frames actually parsed. ``defer_crc`` skips host CRC-16
+    verification for frames the device verifier can check (their bframes
+    get flags bit 1; callers MUST run ops.crc.crc16_frames_device over
+    the flagged byte ranges and surface "frame CRC mismatch")."""
     lib = _require()
     buf = np.frombuffer(payload, dtype=np.uint8)
     err = ctypes.c_int32(0)
@@ -272,7 +277,7 @@ def extract_frames_bits(payload, emit_slots=True, max_frames=None,
     used = ctypes.c_uint64(0)
     h = lib.cxt_extract_bits(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
-        1 if emit_slots else 0,
+        (1 if emit_slots else 0) | (2 if defer_crc else 0),
         -1 if max_frames is None else max_frames, ctypes.byref(used),
         ctypes.byref(err), msg, 256)
     _checked(h, err, msg)
@@ -299,13 +304,13 @@ def extract_frames_bits(payload, emit_slots=True, max_frames=None,
                      payload)
 
 
-def extract_stream_bits(data, emit_slots=True):
+def extract_stream_bits(data, emit_slots=True, defer_crc=False):
     """(streaminfo, BitsBatch) for a whole stream -- the production
     zero-residual-materialization path consumed by claxon_tpu.pipeline."""
     data = bytes(data)
     streaminfo, pos = _read_metadata(data)
     return streaminfo, extract_frames_bits(memoryview(data)[pos:],
-                                           emit_slots)
+                                           emit_slots, defer_crc=defer_crc)
 
 
 def merge_bits_batches(batches):
@@ -320,12 +325,16 @@ def merge_bits_batches(batches):
     if len(batches) == 1:
         return batches[0]
     payloads = [bytes(b.payload) for b in batches]
-    bases, bit0 = [], 0
+    bases, bframes, bit0 = [], [], 0
     for b, p in zip(batches, payloads):
         bases.append(b.bases + np.int32(bit0))
+        bf = b.bframes.copy()
+        bf["byte0"] += np.int32(bit0 // 8)  # frame spans rebase too
+        bf["byte1"] += np.int32(bit0 // 8)
+        bframes.append(bf)
         bit0 += 8 * len(p)
     cat = np.concatenate
-    return BitsBatch(cat([b.bframes for b in batches]),
+    return BitsBatch(cat(bframes),
                      cat([b.bsubs for b in batches]),
                      cat([b.deltas for b in batches]),
                      cat([b.slots for b in batches]),
@@ -333,6 +342,15 @@ def merge_bits_batches(batches):
                      cat([b.samples for b in batches]),
                      cat(bases),
                      b"".join(payloads))
+
+
+def crc16_bytes(data):
+    """Bulk CRC-16 (slice-by-8 in C++) over a bytes-like; reference
+    semantics claxon `src/crc.rs:33-57`."""
+    lib = _require()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.cxt_crc16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)))
 
 
 def extract_frames(payload, max_frames=None):

@@ -41,10 +41,14 @@ struct CxtFrame {
 // layout) instead of deltas/slots. s_class is the frame-uniform slot size
 // in words per 32-sample chunk (both channels share it so a stereo pair
 // always lands in one device bucket).
+// byte0/byte1: the frame's byte span within the walked section, byte1 one
+// past the trailing stored CRC-16 -- the device CRC verifier's ranges.
+// flags bit 0: sample-path fallback lane; bit 1: frame CRC-16 verification
+// deferred to the device (walk ran with kDeferCrc).
 struct CxtBFrame {
   int64_t time;
   int32_t block_size, channels, mode, bps;
-  int32_t flags, s_class, pad0, pad1;
+  int32_t flags, s_class, byte0, byte1;
 };
 
 // Bits-path per-subframe record (BSUB_DTYPE in binding.py). For normal
@@ -989,8 +993,13 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
 // lanes through the legacy sample-shipping program. Header validation,
 // CRC-8/CRC-16 verification and every error message are identical to
 // walk_stream.
+// Frames at most this long may defer CRC-16 verification to the device
+// (bounds the verifier kernel's window size); longer ones verify here.
+constexpr int64_t kCrcDeferCap = 1 << 15;
+
 void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
-                      bool emit_slots, int64_t max_frames = -1,
+                      bool emit_slots, bool defer_crc = false,
+                      int64_t max_frames = -1,
                       size_t* consumed = nullptr) {
   Bits b(data, len);
   std::vector<SubScratch> scratch;
@@ -1032,10 +1041,16 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
     int32_t flags = 0, s_class = 0;
     if (ok) {
       b.align();
-      uint16_t computed =
-          crc16_range(b.base + frame_start, b.base + b.bytepos());
-      uint32_t presumed = b.read_be_u16();
-      if (computed != presumed) fmt_err("frame CRC mismatch");
+      if (defer_crc &&
+          (int64_t)(b.bytepos() + 2 - frame_start) <= kCrcDeferCap) {
+        b.read_be_u16();  // stored CRC: consumed here, verified on device
+        flags |= 2;
+      } else {
+        uint16_t computed =
+            crc16_range(b.base + frame_start, b.base + b.bytepos());
+        uint32_t presumed = b.read_be_u16();
+        if (computed != presumed) fmt_err("frame CRC mismatch");
+      }
 
       // Frame-uniform slot class: both channels of a stereo pair must
       // share a stride so they land in one device bucket, pair-aligned.
@@ -1091,15 +1106,23 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
         h.bsubs.push_back(d);
       }
       b.align();
-      uint16_t computed =
-          crc16_range(b.base + frame_start, b.base + b.bytepos());
-      uint32_t presumed = b.read_be_u16();
-      if (computed != presumed) fmt_err("frame CRC mismatch");
+      if (defer_crc &&
+          (int64_t)(b.bytepos() + 2 - frame_start) <= kCrcDeferCap) {
+        b.read_be_u16();
+        flags |= 2;
+      } else {
+        uint16_t computed =
+            crc16_range(b.base + frame_start, b.base + b.bytepos());
+        uint32_t presumed = b.read_be_u16();
+        if (computed != presumed) fmt_err("frame CRC mismatch");
+      }
       h.samples.insert(h.samples.end(), scratch_x.begin(), scratch_x.end());
     }
 
     h.bframes.push_back(CxtBFrame{hdr.time, hdr.block_size, hdr.channels,
-                                  hdr.mode, hdr.bps, flags, s_class, 0, 0});
+                                  hdr.mode, hdr.bps, flags, s_class,
+                                  (int32_t)frame_start,
+                                  (int32_t)b.bytepos()});
     if (consumed) *consumed = b.bytepos();
   }
 }
@@ -1141,13 +1164,29 @@ void* cxt_extract(const uint8_t* data, uint64_t len, int32_t* err_code,
   return run(data, len, /*full_decode=*/false, err_code, err_msg, msg_cap);
 }
 
+// Deferred frame CRCs precede a walk error in stream order; re-verifying
+// them on this cold path keeps the surfaced error identical to the
+// reference's sequential decode (which would have hit the earlier CRC
+// mismatch first).
+void check_deferred_crcs(const uint8_t* data, const Handle& h) {
+  for (const CxtBFrame& f : h.bframes) {
+    if (!(f.flags & 2)) continue;
+    const uint8_t* q = data + f.byte1 - 2;
+    uint16_t computed = crc16_range(data + f.byte0, q);
+    uint16_t presumed = (uint16_t)((q[0] << 8) | q[1]);
+    if (computed != presumed) fmt_err("frame CRC mismatch");
+  }
+}
+
 // Bits-mode extraction (see walk_stream_bits). opts bit 0: also emit the
 // host-relocated chunk slots (the delta-kernel path); without it only the
 // chunk base positions are emitted and the device gathers chunk words
 // straight from the uploaded stream (the minimal-uplink production path).
-// max_frames < 0 walks the whole section; otherwise the walk stops after
-// that many frames (container chunks hold a declared frame count) and
-// *consumed reports the bytes of the frames actually parsed.
+// opts bit 1: defer frame CRC-16 verification to the device verifier
+// (stream mode only -- the raw bytes must actually ship). max_frames < 0
+// walks the whole section; otherwise the walk stops after that many
+// frames (container chunks hold a declared frame count) and *consumed
+// reports the bytes of the frames actually parsed.
 void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t opts,
                        int64_t max_frames, uint64_t* consumed,
                        int32_t* err_code, char* err_msg, uint64_t msg_cap) {
@@ -1155,8 +1194,13 @@ void* cxt_extract_bits(const uint8_t* data, uint64_t len, int32_t opts,
   try {
     h = new Handle();
     size_t used = 0;
-    walk_stream_bits(data, (size_t)len, *h, (opts & 1) != 0, max_frames,
-                     &used);
+    try {
+      walk_stream_bits(data, (size_t)len, *h, (opts & 1) != 0,
+                       (opts & 2) != 0, max_frames, &used);
+    } catch (const Err&) {
+      if (opts & 2) check_deferred_crcs(data, *h);
+      throw;
+    }
     if (consumed) *consumed = (uint64_t)used;
     *err_code = 0;
     return h;
@@ -1300,6 +1344,13 @@ void cxt_minmax(const int32_t* src, int64_t n, int32_t* mn, int32_t* mx) {
   *mx = hi;
 }
 
-int32_t cxt_abi_version() { return 4; }
+// Bulk CRC-16 over a byte range (slice-by-8). Used by Python cold paths
+// that must re-verify deferred frame CRCs before surfacing another error
+// (reference sequential order: the earlier failure wins).
+int32_t cxt_crc16(const uint8_t* data, uint64_t len) {
+  return crc16_range(data, data + len);
+}
+
+int32_t cxt_abi_version() { return 5; }
 
 }  // extern "C"

@@ -121,8 +121,11 @@ def decode_streams_sharded(datas, mesh=None, use_native=True):
                 mode = "stream"
             if mode == "stream" and sum(len(d) for d in datas) >= (1 << 27):
                 mode = "delta"
+            defer = (mode == "stream" and
+                     not os.environ.get("CLAXON_TPU_HOST_CRC"))
             braws = [native.extract_stream_bits(
-                d, emit_slots=(mode == "delta")) for d in datas]
+                d, emit_slots=(mode == "delta"), defer_crc=defer)
+                for d in datas]
             return decode_raw_bits_device(
                 braws, lane_quantum(mesh), mode,
                 mesh=mesh).start_fetch().to_host()

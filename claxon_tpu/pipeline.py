@@ -238,6 +238,10 @@ class DeviceDecoded:
     _fetch_started: bool = False
     #: set by the raw fast path: (scatter plans, per-stream pcm arrays)
     _raw_plans: tuple = None
+    #: set by the stream-mode bits path when frame CRC-16 verification ran
+    #: on device: ((F,) int32 device values, n valid). A nonzero value is
+    #: a CRC mismatch (kernel covers frame bytes incl. the stored CRC).
+    crc_check: tuple = None
 
     def block_until_ready(self):
         import jax
@@ -248,11 +252,26 @@ class DeviceDecoded:
         """Force completion of every bucket's compute by fetching one tiny
         dependent value per bucket. On backends whose block_until_ready
         acknowledges asynchronously (remote transports), this is the
-        reliable completion barrier."""
+        reliable completion barrier. Raises if the device CRC verifier
+        flagged a frame."""
         for d in self.dispatches:
             probe = d.flag if d.flag is not None else d.out_full[:1, :1]
             np.asarray(probe)
+        self.verify_crc()
         return self
+
+    def verify_crc(self):
+        """Surface a device-verified frame CRC-16 mismatch (stream-mode
+        bits path; reference wording `src/frame.rs:752-763` semantics).
+        Idempotent; called by sync()/to_host(), and the entry point for
+        device-resident consumers that never fetch PCM."""
+        if self.crc_check is None:
+            return
+        vals, n = self.crc_check
+        self.crc_check = None
+        if np.asarray(vals)[:n].any():
+            from .error import fmt_err
+            fmt_err("frame CRC mismatch")
 
     def start_fetch(self):
         """Begin the device-to-host copies of every transfer chunk without
@@ -261,6 +280,8 @@ class DeviceDecoded:
         if self._fetch_started:
             return self
         self._fetch_started = True
+        if self.crc_check is not None:
+            self.crc_check[0].copy_to_host_async()
         for d in self.dispatches:
             if d.flag is not None:
                 d.flag.copy_to_host_async()
@@ -325,6 +346,7 @@ class DeviceDecoded:
                         pcm[out0:out0 + nf * bs, ci] = \
                             out[lane0 + ci:lane0 + nf * n_ch:n_ch,
                                 :bs].reshape(-1)
+            self.verify_crc()
             return self.results
         for d in self.dispatches:
             scatter_bucket(self._fetch_bucket(d), self.frames, d.frame_idx,
@@ -649,8 +671,15 @@ def decode_streams_device(datas, use_native=True,
                 if mode == "stream" and sum(
                         len(d) for d in datas) >= (1 << 27):
                     mode = "delta"
+                # Stream mode ships the raw frame bytes, so frame CRC-16
+                # verification moves to the device verifier too (the host
+                # walk stays boundary-only); CLAXON_TPU_HOST_CRC=1 keeps
+                # it on the host.
+                defer = (mode == "stream" and
+                         not os.environ.get("CLAXON_TPU_HOST_CRC"))
                 braws = [native.extract_stream_bits(
-                    d, emit_slots=(mode == "delta")) for d in datas]
+                    d, emit_slots=(mode == "delta"), defer_crc=defer)
+                    for d in datas]
                 return decode_raw_bits_device(braws, lane_quantum, mode)
             raws = [native.extract_stream_raw(d) for d in datas]
             return decode_raw_batches_device(raws, lane_quantum)

@@ -156,6 +156,28 @@ def _stream_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
 
 
 @lru_cache(maxsize=None)
+def _crc_program(n_words, mesh=None):
+    """Batched frame-CRC verifier over the stream upload (see
+    ops.crc.crc16_frames_device); under a mesh the frame axis shards and
+    the stream replicates (collective-free like the decode programs)."""
+    import jax
+
+    from .ops.crc import crc16_frames_device
+
+    def fn(stream, starts, ends):
+        return crc16_frames_device(stream, starts, ends, n_words)
+
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.mesh import LANE_AXIS
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    fsh = NamedSharding(mesh, PartitionSpec(LANE_AXIS))
+    return jax.jit(fn, in_shardings=(repl, fsh, fsh))
+
+
+@lru_cache(maxsize=None)
 def _sample_program_sharded(in_packed, out_packed, mesh):
     """Mesh-sharded variant of pipeline._decode_program for the bits
     pipeline's fallback (sample-shipping) buckets."""
@@ -184,6 +206,21 @@ def _sample_program_sharded(in_packed, out_packed, mesh):
 
     return jax.jit(prog, in_shardings=(lanes, lanes, vec, vec, vec, vec,
                                        vec))
+
+
+def _host_verify_deferred(bb, before_idx):
+    """Re-verify deferred frame CRCs preceding frame ``before_idx`` on the
+    host (cold path: only runs when another error is about to surface)."""
+    from . import native
+    from .error import fmt_err
+
+    bf = bb.bframes[:before_idx]
+    payload = memoryview(bb.payload)
+    for f in bf[(bf["flags"] & 2) != 0]:
+        b0, b1 = int(f["byte0"]), int(f["byte1"])
+        stored = (payload[b1 - 2] << 8) | payload[b1 - 1]
+        if native.crc16_bytes(payload[b0:b1 - 2]) != stored:
+            fmt_err("frame CRC mismatch")
 
 
 def _runs(recs):
@@ -258,10 +295,28 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
     results, pcms = [], []
     bit_groups, smp_groups = {}, {}
+    crc_starts, crc_ends = [], []
     for si_idx, (si, bb) in enumerate(braws):
         bf = bb.bframes
-        if np.any(bf["channels"] != si.channels):
+        bad_ch = bf["channels"] != si.channels
+        if bad_ch.any():
+            # Reference order: an earlier frame's deferred CRC mismatch
+            # wins over this later-frame error (sequential decode would
+            # have hit it first).
+            _host_verify_deferred(bb, int(np.argmax(bad_ch)))
             fmt_err("frame channel count does not match streaminfo")
+        deferred = (bf["flags"] & 2) != 0
+        if deferred.any():
+            # Extraction deferred these frames' CRC-16 to the device
+            # verifier; only possible when the raw bytes actually ship.
+            if mode != "stream":
+                raise RuntimeError(
+                    "BitsBatch extracted with defer_crc requires "
+                    "mode='stream' (the CRC verifier reads the stream "
+                    "upload)")
+            off = stream_bit_off[si_idx] // 8
+            crc_starts.append(bf["byte0"][deferred].astype(np.int64) + off)
+            crc_ends.append(bf["byte1"][deferred].astype(np.int64) + off)
         bs_v = bf["block_size"].astype(np.int64)
         nch_v = bf["channels"].astype(np.int64)
         nc_v = (bs_v + 31) // 32
@@ -459,5 +514,38 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
     dd = DeviceDecoded(results, [], [], dispatches)
     dd._raw_plans = (plans, pcms)
+
+    if crc_starts:
+        # One CRC-verifier dispatch for the whole batch, launched after
+        # the decode programs (all async; the tiny per-frame results ride
+        # the flag fetches). Shapes quantize (W to a power of two, F to a
+        # power of two padded to the mesh) so programs are shared.
+        starts = np.concatenate(crc_starts).astype(np.int32)
+        ends = np.concatenate(crc_ends).astype(np.int32)
+        n = len(starts)
+        w = 128
+        while 4 * w < int((ends - starts).max(initial=0)):
+            w *= 2
+        fq = 8
+        while fq < n:
+            fq *= 2
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            fq = -(-fq // n_dev) * n_dev
+        starts = np.pad(starts, (0, fq - n))
+        ends = np.pad(ends, (0, fq - n))  # empty ranges: CRC 0, pass
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.mesh import LANE_AXIS
+            fsh = NamedSharding(mesh, PartitionSpec(LANE_AXIS))
+            args = (stream_dev, jax.device_put(starts, fsh),
+                    jax.device_put(ends, fsh))
+        else:
+            args = (stream_dev, jnp.asarray(starts), jnp.asarray(ends))
+        vals = _crc_program(w, mesh)(*args)
+        dd.crc_check = (vals, n)
+        upload_bytes += starts.nbytes + ends.nbytes
+
     dd.upload_bytes = upload_bytes  # link-budget accounting (bench.py)
     return dd

@@ -292,3 +292,87 @@ def test_bits_device_resident_sync():
     dev.sync()
     res = dev.to_host()
     assert _md5_ok(res[0])
+
+
+# ---------------------------------------------------------------------------
+# Device CRC-16 verification (stream mode defers the frame CRC check to
+# ops.crc.crc16_frames_device; reference error `src/frame.rs` "frame CRC
+# mismatch" wording).
+
+
+def _first_frame_span(data):
+    """(abs_byte0, abs_byte1) of frame 0, via a host-verified walk."""
+    import os
+    os.environ["CLAXON_TPU_HOST_CRC"] = "1"
+    try:
+        si, bb = native.extract_stream_bits(data, emit_slots=False)
+    finally:
+        del os.environ["CLAXON_TPU_HOST_CRC"]
+    from claxon_tpu.native.binding import _read_metadata
+    _si, pos = _read_metadata(data)
+    f0 = bb.bframes[0]
+    return pos + int(f0["byte0"]), pos + int(f0["byte1"])
+
+
+def test_device_crc_flags_corrupt_frame():
+    from claxon_tpu.error import FormatError
+
+    data = encode_flac(synth_music(4096 * 3, channels=2, bps=16, seed=77),
+                       44100, 16, block_size=4096)
+    b0, b1 = _first_frame_span(data)
+    bad = bytearray(data)
+    bad[b1 - 1] ^= 0xFF  # stored CRC byte: frame still parses
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        decode_streams_device([bytes(bad)]).to_host()
+    # sync() is the device-resident consumers' barrier; it must raise too.
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        decode_streams_device([bytes(bad)]).sync()
+    # The clean stream still decodes bit-exact with deferral on.
+    dec = decode_streams_device([data]).to_host()[0]
+    _si, pcm = native.decode_stream_scalar(data)
+    assert np.array_equal(dec.pcm, pcm)
+
+
+def test_device_crc_host_knob(monkeypatch):
+    from claxon_tpu.error import FormatError
+
+    data = encode_flac(synth_music(1024 * 2, channels=1, bps=16, seed=78),
+                       44100, 16, block_size=1024)
+    b0, b1 = _first_frame_span(data)
+    bad = bytearray(data)
+    bad[b1 - 1] ^= 0xFF
+    monkeypatch.setenv("CLAXON_TPU_HOST_CRC", "1")
+    # Host verification: the walker itself raises, before any device work.
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        decode_streams_device([bytes(bad)])
+
+
+def test_deferred_crc_precedes_later_walk_error():
+    """Reference order parity: a CRC-corrupt frame BEFORE a malformed
+    frame must surface "frame CRC mismatch" (the sequential reference
+    hits it first), even though the deferred walk only discovers the
+    malformed frame."""
+    from claxon_tpu.error import Error
+
+    data = encode_flac(synth_music(1024 * 3, channels=1, bps=16, seed=79),
+                       44100, 16, block_size=1024)
+    b0, b1 = _first_frame_span(data)
+    bad = bytearray(data[:b1 + 7])  # truncate mid-frame-1: walk error
+    bad[b1 - 1] ^= 0xFF             # and corrupt frame 0's CRC
+    with pytest.raises(Error) as ei:
+        decode_streams_device([bytes(bad)]).to_host()
+    assert "frame CRC mismatch" in str(ei.value)
+
+
+def test_container_decode_device_crc():
+    from claxon_tpu.error import FormatError
+    from claxon_tpu.containers import decode_ogg_stream
+    from claxon_tpu.testing.containers_gen import mux_ogg_flac
+
+    data = encode_flac(synth_music(1024 * 2, channels=2, bps=16, seed=80),
+                       44100, 16, block_size=1024)
+    b0, b1 = _first_frame_span(data)
+    bad = bytearray(data)
+    bad[b1 - 1] ^= 0xFF
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        decode_ogg_stream(mux_ogg_flac(bytes(bad)))
