@@ -142,6 +142,70 @@ def time_to_device(decode_streams_device, datas, total_samples,
     return total_samples * reps / elapsed / 1e6, reps
 
 
+def capture_programs(decode_streams_device, datas):
+    """Run one batch while capturing every (compiled program, device args)
+    pair it dispatches -- the re-dispatchable form of the decode step with
+    all inputs resident in HBM."""
+    import claxon_tpu.pipeline as pl
+    import claxon_tpu.pipeline_bits as pb
+
+    pairs = []
+
+    def wrap(orig):
+        def factory(*k, **kw):
+            prog = orig(*k, **kw)
+
+            def run(*args):
+                pairs.append((prog, args))
+                return prog(*args)
+
+            return run
+
+        return factory
+
+    saved = (pb._stream_program, pb._bits_program, pb._crc_program,
+             pl._decode_program)
+    pb._stream_program = wrap(saved[0])
+    pb._bits_program = wrap(saved[1])
+    pb._crc_program = wrap(saved[2])
+    pl._decode_program = wrap(saved[3])
+    try:
+        decode_streams_device(datas).sync()
+    finally:
+        (pb._stream_program, pb._bits_program, pb._crc_program,
+         pl._decode_program) = saved
+    return pairs
+
+
+def _probe_outputs(outs):
+    """Tiny dependent fetch per program output (completion proof)."""
+    for o in outs:
+        if isinstance(o, tuple):
+            small = o[1] if len(o) >= 3 else o[0][:1, :1]
+        else:
+            small = o[:1]
+        np.asarray(small)
+
+
+def time_device_resident(pairs, total_samples, seconds, max_reps=60):
+    """Chip decode rate with the compressed corpus resident in HBM -- the
+    staged-corpus scenario (a training input pipeline stages the bits once
+    and decodes per epoch): no link traffic in the steady state. All reps
+    dispatch back to back (the device executes programs in dispatch
+    order); ONE set of tiny dependent fetches closes the window, so the
+    degraded-phase d2h round-trip latency is paid once, not per rep."""
+    reps = 0
+    outs = None
+    t0 = time.perf_counter()
+    while (time.perf_counter() - t0 < seconds and reps < max_reps) \
+            or reps < 3:
+        outs = [prog(*args) for prog, args in pairs]
+        reps += 1
+    _probe_outputs(outs)
+    elapsed = time.perf_counter() - t0
+    return total_samples * reps / elapsed / 1e6, reps
+
+
 def main():
     try:
         import jax
@@ -171,6 +235,16 @@ def main():
         decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
     mixed_dev_msamples_s, _ = time_to_device(
         decode_streams_device, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+
+    # ---- Phase 1b: chip decode rate with the compressed corpus resident
+    # in HBM (staged once, decoded repeatedly -- the training-input /
+    # repeat-serve scenario). This isolates the decode engine from the
+    # tunnel: entropy decode + synthesis + epilogue + CRC verify + int16
+    # pack, dispatched exactly as production does.
+    pairs = capture_programs(decode_streams_device, datas)
+    resident_msamples_s, resident_reps = time_device_resident(
+        pairs, total_samples, TO_DEVICE_SECONDS / 2)
+    pairs = None
 
     # Link budget: sustained h2d rate (dependent-fetch barrier -- the only
     # honest one on this transport, see tools/link_probe.py) and the upload
@@ -262,6 +336,8 @@ def main():
         "to_device_vs_baseline": round(dev_msamples_s / BASELINE_MSAMPLES_S,
                                        3),
         "to_device_mixed_msamples_s": round(mixed_dev_msamples_s, 3),
+        "device_resident_msamples_s": round(resident_msamples_s, 3),
+        "device_resident_reps": resident_reps,
         "to_host_p10_msamples_s": round(p10, 3),
         "to_host_p90_msamples_s": round(p90, 3),
         "host_scalar_msamples_s": round(scalar_msamples_s, 3),

@@ -44,7 +44,7 @@ struct CxtFrame {
 // byte0/byte1: the frame's byte span within the walked section, byte1 one
 // past the trailing stored CRC-16 -- the device CRC verifier's ranges.
 // flags bit 0: sample-path fallback lane; bit 1: frame CRC-16 verification
-// deferred to the device (walk ran with kDeferCrc).
+// deferred to the device (walk ran with defer_crc).
 struct CxtBFrame {
   int64_t time;
   int32_t block_size, channels, mode, bps;
@@ -993,10 +993,6 @@ void walk_stream(const uint8_t* data, size_t len, bool full_decode,
 // lanes through the legacy sample-shipping program. Header validation,
 // CRC-8/CRC-16 verification and every error message are identical to
 // walk_stream.
-// Frames at most this long may defer CRC-16 verification to the device
-// (bounds the verifier kernel's window size); longer ones verify here.
-constexpr int64_t kCrcDeferCap = 1 << 15;
-
 void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
                       bool emit_slots, bool defer_crc = false,
                       int64_t max_frames = -1,
@@ -1041,8 +1037,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
     int32_t flags = 0, s_class = 0;
     if (ok) {
       b.align();
-      if (defer_crc &&
-          (int64_t)(b.bytepos() + 2 - frame_start) <= kCrcDeferCap) {
+      if (defer_crc) {
         b.read_be_u16();  // stored CRC: consumed here, verified on device
         flags |= 2;
       } else {
@@ -1106,8 +1101,7 @@ void walk_stream_bits(const uint8_t* data, size_t len, Handle& h,
         h.bsubs.push_back(d);
       }
       b.align();
-      if (defer_crc &&
-          (int64_t)(b.bytepos() + 2 - frame_start) <= kCrcDeferCap) {
+      if (defer_crc) {
         b.read_be_u16();
         flags |= 2;
       } else {

@@ -83,7 +83,12 @@ def _kernel(x_ref, coefs_ref, shifts_ref, orders_ref, lengths_ref, out_ref,
 
 @partial(jax.jit, static_argnames=("chunk", "lane_block"))
 def synthesize_pallas(x, coefs, shifts, orders, lengths=None, chunk=256,
-                      lane_block=4096):
+                      lane_block=2048):
+    # lane_block bounds VMEM: the x/out blocks are (chunk, BL) int32 and
+    # Mosaic buffers them on the scoped-VMEM stack; BL = 3456 with
+    # chunk = 256 was measured to exceed the 16 MiB limit (large merged
+    # corpora), BL <= 2048 leaves comfortable headroom. The lane grid
+    # dimension is parallel, so more, smaller blocks cost nothing.
     """Drop-in equivalent of ``ops.predict.synthesize`` (same argument
     convention: x (L, T), coefs (L, 32) left-padded, shifts/orders (L,)).
 

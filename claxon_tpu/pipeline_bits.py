@@ -110,7 +110,7 @@ def _jit_bucket_program(fn, mesh, stream_arg=False):
     lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
     repl = NamedSharding(mesh, PartitionSpec())
     if stream_arg:
-        in_shardings = (repl, lanes, lanes, lanes)
+        in_shardings = (repl, lanes)
     else:
         in_shardings = (lanes, lanes, lanes, lanes)
     return jax.jit(fn, in_shardings=in_shardings)
@@ -128,8 +128,15 @@ def _stream_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
     platform = None if mesh is None else mesh.devices.flat[0].platform
     n_chunks = _FETCH_CHUNKS if mesh is None else 1  # see _bits_program
 
-    def prog(stream, bases, ks, meta):
-        L = meta.shape[0]
+    def prog(stream, mb):
+        # mb coalesces the whole per-lane bucket state into ONE int32
+        # upload (each h2d on the tunneled backend pays a round trip):
+        # columns [0, _META_W) = meta, then NC chunk bit bases, then the
+        # n_parts_max Rice parameters.
+        L = mb.shape[0]
+        meta = mb[:, :_META_W]
+        bases = mb[:, _META_W:mb.shape[1] - n_parts_max]
+        ks = mb[:, mb.shape[1] - n_parts_max:]
         orders, shifts, wasted, ps, pbits, flags, lengths = (
             meta[:, i] for i in range(7))
         # Column 7 carries the frame's channel-assignment mode on BOTH
@@ -156,16 +163,18 @@ def _stream_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
 
 
 @lru_cache(maxsize=None)
-def _crc_program(n_words, mesh=None):
+def _crc_program(mesh=None):
     """Batched frame-CRC verifier over the stream upload (see
-    ops.crc.crc16_frames_device); under a mesh the frame axis shards and
+    ops.crc.crc16_ranges_device); under a mesh the frame axis shards and
     the stream replicates (collective-free like the decode programs)."""
     import jax
 
-    from .ops.crc import crc16_frames_device
+    from .ops.crc import crc16_ranges_device
 
-    def fn(stream, starts, ends):
-        return crc16_frames_device(stream, starts, ends, n_words)
+    def fn(stream, se):
+        # se: (2, F) int32 -- starts row 0, ends row 1 (one coalesced
+        # upload; see the mb comment in decode_raw_bits_device).
+        return crc16_ranges_device(stream, se[0], se[1])
 
     if mesh is None:
         return jax.jit(fn)
@@ -173,8 +182,8 @@ def _crc_program(n_words, mesh=None):
     from .parallel.mesh import LANE_AXIS
 
     repl = NamedSharding(mesh, PartitionSpec())
-    fsh = NamedSharding(mesh, PartitionSpec(LANE_AXIS))
-    return jax.jit(fn, in_shardings=(repl, fsh, fsh))
+    fsh = NamedSharding(mesh, PartitionSpec(None, LANE_AXIS))
+    return jax.jit(fn, in_shardings=(repl, fsh))
 
 
 @lru_cache(maxsize=None)
@@ -379,7 +388,14 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             for r in recs for c in range(r["nch"])))
 
         if mode == "stream":
-            bases = np.zeros((L, NC), dtype=np.int32)
+            # The per-lane bucket state rides ONE coalesced int32 array
+            # (mb = [meta | bases | ks]); each h2d transfer pays a tunnel
+            # round trip, so three arrays per bucket was measurably slower
+            # to dispatch than one.
+            mb = np.zeros((L, _META_W + NC + P), dtype=np.int32)
+            meta = mb[:, :_META_W]
+            bases = mb[:, _META_W:_META_W + NC]
+            ks = mb[:, _META_W + NC:]
             slots = slots3 = deltas = None
         else:
             # The slot buffer is deliberately NOT zeroed: the kernel reads
@@ -389,8 +405,8 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             slots = np.empty((L, NC * SA), dtype=np.int32)
             slots3 = slots.reshape(L, NC, SA)  # host-side fill view
             deltas = np.zeros((L, T_ext), dtype=np.uint8)
-        ks = np.zeros((L, P), dtype=np.int32)
-        meta = np.zeros((L, _META_W), dtype=np.int32)
+            ks = np.zeros((L, P), dtype=np.int32)
+            meta = np.zeros((L, _META_W), dtype=np.int32)
 
         lane = 0
         plan = []
@@ -437,9 +453,8 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
         if mode == "stream":
             prog = _stream_program(P, SA, out_packed, mesh=mesh)
-            args = (stream_dev, jnp.asarray(bases), jnp.asarray(ks),
-                    jnp.asarray(meta))
-            upload_bytes += bases.nbytes + ks.nbytes + meta.nbytes
+            args = (stream_dev, jnp.asarray(mb))
+            upload_bytes += mb.nbytes
         else:
             prog = _bits_program(P, SA, out_packed, mesh=mesh)
             args = (jnp.asarray(slots), jnp.asarray(deltas),
@@ -523,29 +538,25 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         starts = np.concatenate(crc_starts).astype(np.int32)
         ends = np.concatenate(crc_ends).astype(np.int32)
         n = len(starts)
-        w = 128
-        while 4 * w < int((ends - starts).max(initial=0)):
-            w *= 2
         fq = 8
         while fq < n:
             fq *= 2
         if mesh is not None:
             n_dev = mesh.devices.size
             fq = -(-fq // n_dev) * n_dev
-        starts = np.pad(starts, (0, fq - n))
-        ends = np.pad(ends, (0, fq - n))  # empty ranges: CRC 0, pass
+        se = np.stack([np.pad(starts, (0, fq - n)),
+                       np.pad(ends, (0, fq - n))])  # empty pad: CRC 0
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
             from .parallel.mesh import LANE_AXIS
-            fsh = NamedSharding(mesh, PartitionSpec(LANE_AXIS))
-            args = (stream_dev, jax.device_put(starts, fsh),
-                    jax.device_put(ends, fsh))
+            fsh = NamedSharding(mesh, PartitionSpec(None, LANE_AXIS))
+            args = (stream_dev, jax.device_put(se, fsh))
         else:
-            args = (stream_dev, jnp.asarray(starts), jnp.asarray(ends))
-        vals = _crc_program(w, mesh)(*args)
+            args = (stream_dev, jnp.asarray(se))
+        vals = _crc_program(mesh)(*args)
         dd.crc_check = (vals, n)
-        upload_bytes += starts.nbytes + ends.nbytes
+        upload_bytes += se.nbytes
 
     dd.upload_bytes = upload_bytes  # link-budget accounting (bench.py)
     return dd

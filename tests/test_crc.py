@@ -136,3 +136,28 @@ def test_crc16_frames_device_matches_scalar():
         stream2, jnp.asarray(np.array([10], np.int32)),
         jnp.asarray(np.array([92], np.int32)), 64))[0])
     assert got2 == 0
+
+
+def test_crc16_ranges_device_matches_scalar():
+    """The prefix-scan range verifier (the production kernel) equals the
+    scalar CRC on arbitrary unaligned byte ranges."""
+    import jax
+    import jax.numpy as jnp
+    from claxon_tpu.ops.crc import crc16_ranges_device
+
+    rng = np.random.default_rng(22)
+    raw = rng.integers(0, 256, 5003, dtype=np.uint8).tobytes()
+    buf = np.frombuffer(raw, np.uint8)
+    pad = np.zeros((-len(buf)) % 4, np.uint8)
+    stream = jnp.asarray(np.concatenate([buf, pad]).view(">i4")
+                         .astype(np.int32))
+
+    cases = [(0, 0), (5, 5), (0, 1), (0, 5003), (1, 5000), (2, 4998),
+             (3, 4997), (7, 512), (13, 526), (100, 101), (5002, 5003),
+             (4999, 5003)]
+    cases += [tuple(sorted(rng.integers(0, 5004, 2))) for _ in range(25)]
+    starts = jnp.asarray(np.array([a for a, _ in cases], np.int32))
+    ends = jnp.asarray(np.array([b for _, b in cases], np.int32))
+    got = np.asarray(jax.jit(crc16_ranges_device)(stream, starts, ends))
+    want = np.array([crc16(raw[a:b]) for a, b in cases], np.int32)
+    assert np.array_equal(got, want)
