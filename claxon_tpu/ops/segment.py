@@ -1,0 +1,152 @@
+"""Speculative frame segmentation on device (prototype).
+
+The reference escapes nothing: its decode is a strictly sequential bit
+walk, because frame N + 1's start is only known after frame N is parsed
+(claxon `src/frame.rs:146-149`). Its header design, however, makes
+speculation cheap -- the 14-bit sync code cannot occur inside a valid
+header (`src/frame.rs:291-302` forbids the mimicking codes), and every
+header carries a CRC-8. This kernel exploits that on the TPU: scan EVERY
+byte position of the uploaded stream for a sync pattern, parse the
+candidate header's fixed fields + UTF-8 frame number + extra bytes with
+pure vector selects, and validate its CRC-8 -- all data-parallel, no
+sequential cursor. Surviving candidates are (with very high probability)
+the true frame boundaries; a full speculative decoder would confirm them
+with the device CRC-16 verifier (ops.crc.crc16_ranges_device) and resolve
+the rare payload byte that mimics a valid header by chaining.
+
+This is the round-2 de-risking prototype for device-side segmentation:
+it demonstrates that frame boundaries can be recovered on-chip without
+the host's serial walk. The production pipeline still uses the C++
+boundary walk (which must parse subframe headers anyway for the Rice
+descriptors); tests assert this kernel finds exactly the walker's
+boundaries (plus a bounded false-positive count) on real streams.
+
+Header grammar implemented here: `claxon_tpu/frame.py`
+``read_frame_header_or_eof`` (reference `src/frame.rs:131-316`).
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..crc import CRC8_TABLE
+
+__all__ = ["find_frame_headers", "MAX_HEADER_BYTES"]
+
+#: sync(2) + fixed(2) + utf8 frame number(<=7) + block size(<=2) +
+#: sample rate(<=2); the CRC-8 byte follows at offset hlen.
+MAX_HEADER_BYTES = 15
+
+
+@lru_cache(maxsize=1)
+def _crc8_bit_rows():
+    """rows[i]: CRC8_TABLE[1 << i] -- the table is GF(2)-linear in its
+    index, so one step is 8 constant selects instead of a 256-gather."""
+    return [int(CRC8_TABLE[1 << i]) for i in range(8)]
+
+
+def _crc8_step(state, byte):
+    """state' = CRC8_TABLE[state ^ byte], gather-free."""
+    x = state ^ byte
+    rows = _crc8_bit_rows()
+    acc = jnp.zeros_like(x)
+    for i in range(8):
+        acc = acc ^ jnp.where((x >> i) & 1 != 0, jnp.int32(rows[i]), 0)
+    return acc
+
+
+def _leading_ones8(b):
+    """Number of leading 1 bits in a byte (0..8), vectorized."""
+    n = jnp.zeros_like(b)
+    probe = jnp.full_like(b, 0x80)
+    done = jnp.zeros_like(b, dtype=bool)
+    for _ in range(8):
+        hit = ~done & ((b & probe) != 0)
+        n = n + hit.astype(n.dtype)
+        done = done | ~hit
+        probe = probe >> 1
+    return n
+
+
+@partial(jax.jit, static_argnames=("n_bytes", "max_candidates"))
+def find_frame_headers(stream, n_bytes, max_candidates):
+    """Find CRC-8-validated frame header candidates in an uploaded stream.
+
+    Args:
+      stream: (S,) int32 big-endian-packed bytes (the bits-pipeline upload
+              form; byte i is word i >> 2, lane 3 - (i & 3)).
+      n_bytes: static number of valid bytes.
+      max_candidates: static output capacity; candidates past it drop.
+
+    Returns:
+      (positions, valid, count):
+        positions: (max_candidates,) int32 byte offsets of sync hits, in
+                   stream order, -1 past ``count``;
+        valid:     (max_candidates,) bool -- full header parse succeeded
+                   AND the header CRC-8 matched;
+        count:     () int32 number of sync hits found (may exceed
+                   max_candidates if the capacity was too small).
+    """
+    # Byte planes -> flat byte array (vector ops only).
+    w = stream.astype(jnp.int32)
+    b = jnp.stack([(w >> 24) & 255, (w >> 16) & 255,
+                   (w >> 8) & 255, w & 255], axis=1).reshape(-1)
+
+    # Sync scan: 0xFF then 111110 + reserved 0 (byte1 in {0xF8, 0xF9}).
+    nxt = jnp.concatenate([b[1:], jnp.zeros(1, b.dtype)])
+    mask = (b == 255) & ((nxt & 0xFE) == 0xF8)
+    pos_ok = jnp.arange(b.shape[0], dtype=jnp.int32) < n_bytes - 2
+    mask = mask & pos_ok
+
+    # Compact sync positions into stream order (scatter-by-rank).
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    count = jnp.where(mask.shape[0] > 0, rank[-1] + 1, 0)
+    tgt = jnp.where(mask, rank, max_candidates)  # drop non-hits + overflow
+    positions = jnp.full(max_candidates + 1, -1, jnp.int32).at[tgt].set(
+        jnp.arange(b.shape[0], dtype=jnp.int32), mode="drop")[:-1]
+
+    # Gather each candidate's header window (the only gather: a few bytes
+    # per candidate).
+    p = jnp.maximum(positions, 0)
+    win = b[jnp.clip(p[:, None] + jnp.arange(MAX_HEADER_BYTES + 1,
+                                             dtype=jnp.int32)[None, :],
+                     0, b.shape[0] - 1)]  # (C, 16)
+
+    bs_sr = win[:, 2]
+    bs_code = bs_sr >> 4
+    sr_code = bs_sr & 15
+    chan = win[:, 3]
+    ca = chan >> 4
+    bps_code = (chan >> 1) & 7
+    ok = (bs_code != 0) & (sr_code != 15)
+    ok = ok & (ca <= 0b1010) & (bps_code != 0b011) & (bps_code != 0b111)
+    ok = ok & ((chan & 1) == 0)
+
+    # UTF-8-coded frame/sample number length (reference
+    # read_var_length_int): 0 leading ones -> 1 byte, 2..7 -> that many;
+    # 1 (a continuation byte) or 8 is malformed.
+    lead = _leading_ones8(win[:, 4])
+    utf8_len = jnp.where(lead == 0, 1, lead)
+    ok = ok & (lead != 1) & (lead != 8)
+    # Continuation bytes must be 10xxxxxx.
+    for j in range(1, 7):
+        cont = win[:, 4 + j]
+        ok = ok & ((j >= utf8_len) | ((cont & 0xC0) == 0x80))
+
+    bs_extra = jnp.where(bs_code == 6, 1, 0) + jnp.where(bs_code == 7, 2, 0)
+    sr_extra = jnp.where(sr_code == 12, 1, 0) + \
+        jnp.where((sr_code == 13) | (sr_code == 14), 2, 0)
+    hlen = 4 + utf8_len + bs_extra + sr_extra
+
+    # CRC-8 over the first hlen bytes must equal byte hlen.
+    state = jnp.zeros_like(p)
+    for j in range(MAX_HEADER_BYTES):
+        state = jnp.where(j < hlen, _crc8_step(state, win[:, j]), state)
+    stored = jnp.take_along_axis(win, hlen[:, None], axis=1)[:, 0]
+    ok = ok & (state == stored)
+
+    # In-bounds: the header + CRC byte must fit the stream.
+    ok = ok & (positions >= 0) & (p + hlen < n_bytes)
+    return positions, ok, count
