@@ -545,7 +545,7 @@ void parse_subframe(Bits& b, int bps, int64_t block_size, int32_t* buf,
 // ops/entropy.py on the device side).
 
 constexpr int64_t kPCap = 64;  // partitions beyond this: sample path
-constexpr int kSClasses[5] = {4, 8, 16, 32, 64};  // slot words per chunk
+constexpr int kSClasses[9] = {4, 6, 8, 12, 16, 24, 32, 48, 64};  // slot words/chunk
 
 // Copy nbits starting at absolute bit src_bit of the byte stream into
 // word-aligned dst, MSB-first (the device kernel's bit order: slot bit i

@@ -122,6 +122,57 @@ def outcome_python_extract(data):
         return (type(e).__name__, str(e))
 
 
+def check_bits_walker_differential(data):
+    """The production bits walker (extract_stream_bits) must agree with
+    the sample walker on every input's outcome; with defer_crc the only
+    allowed divergence is success where the host walk stopped at a frame
+    CRC mismatch (the device verifier catches it later -- confirmed here
+    by host-reverifying the flagged frames)."""
+    def outcome(fn):
+        try:
+            fn()
+            return ("ok",)
+        except Error as e:
+            return (type(e).__name__, str(e))
+
+    import os
+    os.environ["CLAXON_TPU_HOST_CRC"] = "1"
+    try:
+        host = outcome(lambda: native.extract_stream_bits(
+            data, emit_slots=False))
+    finally:
+        del os.environ["CLAXON_TPU_HOST_CRC"]
+    sample = outcome(lambda: native.extract_stream(data))
+    if host != sample:
+        raise AssertionError(
+            f"bits/sample walker outcome mismatch: {host} vs {sample}")
+
+    got = [None]
+
+    def run_defer():
+        got[0] = native.extract_stream_bits(data, emit_slots=False,
+                                            defer_crc=True)
+
+    defer = outcome(run_defer)
+    if defer == host:
+        return
+    if defer != ("ok",) or "frame CRC mismatch" not in host[-1]:
+        raise AssertionError(
+            f"defer_crc walker outcome mismatch: {defer} vs {host}")
+    _si, bb = got[0]
+    payload = memoryview(bb.payload)
+    for f in bb.bframes:
+        if not (int(f["flags"]) & 2):
+            continue
+        b0, b1 = int(f["byte0"]), int(f["byte1"])
+        stored = (payload[b1 - 2] << 8) | payload[b1 - 1]
+        if native.crc16_bytes(payload[b0:b1 - 2]) != stored:
+            return  # the device verifier would flag it: contract holds
+    raise AssertionError(
+        "defer_crc walk succeeded but no flagged frame reproduces the "
+        "host CRC mismatch")
+
+
 def check_poison_determinism(data, max_blocks=3):
     """The reference's diff fuzzer (`fuzz/fuzzers/diff.rs:27-78`): decoding
     into recycled buffers pre-filled with different markers must be
@@ -223,6 +274,8 @@ def run(seconds=60, seed=0):
             py = outcome_python(data)
             if kind == 5:  # buffer-poisoning determinism (diff fuzzer)
                 check_poison_determinism(data)
+            if kind == 2 and native.available():  # bits-walker differential
+                check_bits_walker_differential(data)
             if native.available():
                 nat = outcome_native(data)
                 pex = outcome_python_extract(data)

@@ -111,6 +111,40 @@ def main():
     print(f"TOTAL:   {tot*1e3:8.1f} ms  ({total/tot/1e6:7.1f} Msamples/s) "
           f"for {total/1e6:.1f} Msamples")
 
+    # ---- Production bits path (stream mode). Timing closes with tiny
+    # dependent fetches -- block_until_ready acks early on the tunneled
+    # backend, so the legacy-section numbers above are optimistic there.
+    print("\n-- bits path (production stream mode) --")
+    from claxon_tpu.pipeline import decode_streams_device
+
+    tb_ = t(lambda: [native.extract_stream_bits(d, emit_slots=False,
+                                                defer_crc=True)
+                     for d in datas])
+    print(f"bits extract: {tb_*1e3:8.1f} ms  ({total/tb_/1e6:7.1f} "
+          f"Msamples/s)  [boundary-only walk, CRC-16 deferred]")
+
+    warm = decode_streams_device(datas)
+    warm.sync()
+
+    def dispatch_and_sync():
+        decode_streams_device(datas).sync()
+    tds = t(dispatch_and_sync)
+    print(f"extract+dispatch+device (sync): {tds*1e3:8.1f} ms  "
+          f"({total/tds/1e6:7.1f} Msamples/s)")
+
+    # Device-only rate: re-dispatch the captured programs on HBM-resident
+    # args (the staged-corpus scenario; no link traffic in the window).
+    import importlib
+    bench = importlib.import_module("bench")
+    pairs = bench.capture_programs(decode_streams_device, datas)
+    rate, reps = bench.time_device_resident(pairs, total, 4.0)
+    print(f"device programs (HBM-resident): {total/rate/1e3:8.1f} ms  "
+          f"({rate:7.1f} Msamples/s over {reps} reps)")
+
+    tth = t(lambda: decode_streams_device(datas).to_host(), reps=2)
+    print(f"end-to-end to host: {tth*1e3:8.1f} ms  "
+          f"({total/tth/1e6:7.1f} Msamples/s)")
+
 
 if __name__ == "__main__":
     if "--trace" in sys.argv:
