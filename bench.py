@@ -43,8 +43,8 @@ MIXED_VERSION = "m1"
 N_STREAMS = 8
 SECONDS_PER_STREAM = 10
 TO_DEVICE_SECONDS = 8.0
-TO_HOST_SECONDS = 9.0
-N_WINDOWS = 3
+TO_HOST_SECONDS = 20.0
+N_WINDOWS = 5
 
 
 def build_corpus():
@@ -252,18 +252,23 @@ def main():
     # the tunnel imposes on ANY decode-to-device path; reporting it lets
     # the headline be judged against the medium, not just the baseline.
     upload_bytes = getattr(warm, "upload_bytes", 0)
-    import jax.numpy as jnp
     tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
     probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
     d = jax.device_put(probe)
     np.asarray(tiny_sum(d))
-    t0 = time.perf_counter()
-    d = jax.device_put(probe)
-    np.asarray(tiny_sum(d))
-    h2d_mbps = 16 / (time.perf_counter() - t0)
+
+    def probe_h2d():
+        # One 16 MiB upload closed by a dependent fetch. The tunnel's
+        # rate swings ~3x between minutes-long phases, so the ceiling is
+        # derived from the MEDIAN of probes spread across the run.
+        t0 = time.perf_counter()
+        np.asarray(tiny_sum(jax.device_put(probe)))
+        return 16 / (time.perf_counter() - t0)
+
+    h2d_probes = [probe_h2d()]
     bytes_per_sample = upload_bytes / max(total_samples, 1)
-    link_ceiling = (h2d_mbps * 1e6 / bytes_per_sample / 1e6
-                    if bytes_per_sample else 0.0)
+
+    h2d_probes.append(probe_h2d())
 
     # ---- Phase 2: end-to-end to-host (d2h-bound by nature; the process
     # link is in its degraded regime now, which is this phase's reality).
@@ -324,6 +329,11 @@ def main():
                 break
     scalar_msamples_s = n / (time.perf_counter() - t0) / 1e6
 
+    h2d_probes.append(probe_h2d())
+    h2d_mbps = sorted(h2d_probes)[len(h2d_probes) // 2]
+    link_ceiling = (h2d_mbps * 1e6 / bytes_per_sample / 1e6
+                    if bytes_per_sample else 0.0)
+
     backend = "pallas" if (jax.devices()[0].platform == "tpu"
                            and not os.environ.get("CLAXON_TPU_NO_PALLAS")) \
         else "xla-scan"
@@ -347,6 +357,7 @@ def main():
         "native_demux": native.available(),
         "upload_bytes_per_sample": round(bytes_per_sample, 3),
         "link_h2d_mbps": round(h2d_mbps, 1),
+        "link_h2d_probes_mbps": [round(x, 1) for x in h2d_probes],
         "link_ceiling_msamples_s": round(link_ceiling, 1),
         "streams": len(datas),
         "mixed_streams": len(mixed),
