@@ -97,6 +97,32 @@ def _word_crc16(w):
     return acc
 
 
+#: words per prefix-scan granule: the base CRC is computed per 8-word
+#: (32-byte) element, cutting total element-ops ~6x vs per-word (the
+#: row constants absorb each word's in-granule byte shift).
+_G = 8
+
+
+@lru_cache(maxsize=1)
+def _granule_bit_rows():
+    """rows[j][i]: CRC-16 of the 4*_G-byte message whose only set bit is
+    bit i of word j (big-endian words, word 0 first)."""
+    from ..crc import crc16
+
+    out = []
+    for j in range(_G):
+        rows = []
+        for i in range(32):
+            w = 1 << i
+            msg = (bytes(4 * j) +
+                   bytes([(w >> 24) & 255, (w >> 16) & 255,
+                          (w >> 8) & 255, w & 255]) +
+                   bytes(4 * (_G - 1 - j)))
+            rows.append(crc16(msg))
+        out.append(rows)
+    return out
+
+
 @lru_cache(maxsize=1)
 def _partial_word_rows():
     """rows[t][i]: CRC-16 of the first t bytes of the 4-byte message with
@@ -164,41 +190,66 @@ def crc16_ranges_device(stream, starts, ends):
     where P is the exclusive word-prefix CRC. Only the final per-frame
     lookups gather (4 x (F,) elements)."""
     S = stream.shape[0]
-    n_levels = max(1, (S - 1).bit_length())
-    mats = jnp.asarray(_combine_mats_arr())
+    G = _G
+    Sp = -(-S // G) * G
+    st = jnp.pad(stream, (0, Sp - S)) if Sp != S else stream
+    gw = st.reshape(Sp // G, G)
+    NG = Sp // G
 
-    # Inclusive word-prefix CRC, A[j] = crc(words[0..j]): Hillis-Steele
-    # with combine(x, y) = shift(x, bytes(y)) ^ y. The level loop is a
-    # fori_loop (one compiled body) -- the shift matrix for level l is
-    # mats[l + 2] (4 * 2^l bytes) and the span-l left operand comes from a
-    # zero-extended dynamic slice, so nothing in the body depends on l
-    # statically.
-    A0 = _word_crc16(stream)
-    zpad = jnp.zeros(S, A0.dtype)
+    # Granule CRCs: CRC-16 of each 4*G-byte element, GF(2)-linear in its
+    # 32*G bits with per-word-position row constants (one pass, no
+    # intermediate word-level array).
+    acc = jnp.zeros(NG, jnp.int32)
+    grows = _granule_bit_rows()
+    for j in range(G):
+        w = gw[:, j]
+        for i in range(32):
+            acc = acc ^ jnp.where((w >> i) & 1 != 0,
+                                  jnp.int32(grows[j][i]), 0)
+
+    # Inclusive granule-prefix CRC, A[g] = crc(granules[0..g]):
+    # Hillis-Steele with combine(x, y) = shift(x, bytes(y)) ^ y. The level
+    # loop is a fori_loop (one compiled body) -- the shift matrix for
+    # level l is mats[l + 5] (4*G * 2^l bytes with G = 8) and the span-l
+    # left operand comes from a zero-extended dynamic slice, so nothing in
+    # the body depends on l statically.
+    n_levels = max(1, (NG - 1).bit_length())
+    mats = jnp.asarray(_combine_mats_arr())
+    zpad = jnp.zeros(NG, acc.dtype)
 
     def level(l, A):
         span = jnp.int32(1) << l
         left = jax.lax.dynamic_slice(
-            jnp.concatenate([zpad, A]), (S - span,), (S,))
-        return _gf2_apply_dyn(mats[l + 2], left) ^ A
+            jnp.concatenate([zpad, A]), (NG - span,), (NG,))
+        return _gf2_apply_dyn(mats[l + 5], left) ^ A
 
-    A = jax.lax.fori_loop(0, n_levels, level, A0)
+    A = jax.lax.fori_loop(0, n_levels, level, acc)
     P = jnp.concatenate([jnp.zeros(1, A.dtype), A[:-1]])  # exclusive
 
+    wrows = _word_bit_rows()
+    prows = _partial_word_rows()
+
     def prefix_bytes(o):
-        q = jnp.clip(o >> 2, 0, S - 1)
-        t = o & 3
-        base = _shift_by_bytes(P[q], t, max_log2=2)
-        w = stream[q]
-        part_rows = _partial_word_rows()
-        acc = jnp.zeros_like(o)
-        for i in range(32):
-            sel = jnp.where(t == 1, jnp.int32(part_rows[1][i]),
-                            jnp.where(t == 2, jnp.int32(part_rows[2][i]),
-                                      jnp.int32(part_rows[3][i])))
-            sel = jnp.where(t == 0, 0, sel)
-            acc = acc ^ jnp.where((w >> i) & 1 != 0, sel, 0)
-        return base ^ acc
+        # PB(o) = shift(P[o // 32], o % 32) ^ crc(partial granule): the
+        # partial part folds the granule's words with t_j in {0..4} bytes
+        # each -- all on (F,)-sized data, so the nested selects are free.
+        g = jnp.clip(o >> 5, 0, NG - 1)
+        r = o & (4 * G - 1)
+        base = _shift_by_bytes(P[g], r, max_log2=5)
+        state = jnp.zeros_like(o)
+        for j in range(G):
+            w = gw[:, j][g]
+            t = jnp.clip(r - 4 * j, 0, 4)
+            state = _shift_by_bytes(state, t, max_log2=3)
+            for i in range(32):
+                sel = jnp.where(
+                    t == 4, jnp.int32(wrows[i]),
+                    jnp.where(t == 1, jnp.int32(prows[1][i]),
+                              jnp.where(t == 2, jnp.int32(prows[2][i]),
+                                        jnp.int32(prows[3][i]))))
+                sel = jnp.where(t == 0, 0, sel)
+                state = state ^ jnp.where((w >> i) & 1 != 0, sel, 0)
+        return base ^ state
 
     starts = starts.astype(jnp.int32)
     ends = ends.astype(jnp.int32)
