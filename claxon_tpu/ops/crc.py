@@ -224,7 +224,10 @@ def crc16_ranges_device(stream, starts, ends):
         return _gf2_apply_dyn(mats[l + 5], left) ^ A
 
     A = jax.lax.fori_loop(0, n_levels, level, acc)
-    P = jnp.concatenate([jnp.zeros(1, A.dtype), A[:-1]])  # exclusive
+    # Exclusive prefix with NG + 1 entries: P[NG] = crc of everything, so
+    # a range ending exactly at the padded stream end (g == NG, r == 0)
+    # still resolves (the clipped word gathers are masked by r == 0).
+    P = jnp.concatenate([jnp.zeros(1, A.dtype), A])
 
     wrows = _word_bit_rows()
     prows = _partial_word_rows()
@@ -233,12 +236,13 @@ def crc16_ranges_device(stream, starts, ends):
         # PB(o) = shift(P[o // 32], o % 32) ^ crc(partial granule): the
         # partial part folds the granule's words with t_j in {0..4} bytes
         # each -- all on (F,)-sized data, so the nested selects are free.
-        g = jnp.clip(o >> 5, 0, NG - 1)
+        g = jnp.clip(o >> 5, 0, NG)
+        gp = jnp.clip(g, 0, NG - 1)
         r = o & (4 * G - 1)
         base = _shift_by_bytes(P[g], r, max_log2=5)
         state = jnp.zeros_like(o)
         for j in range(G):
-            w = gw[:, j][g]
+            w = gw[:, j][gp]
             t = jnp.clip(r - 4 * j, 0, 4)
             state = _shift_by_bytes(state, t, max_log2=3)
             for i in range(32):

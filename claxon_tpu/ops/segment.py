@@ -89,6 +89,10 @@ def find_frame_headers(stream, n_bytes, max_candidates):
         count:     () int32 number of sync hits found (may exceed
                    max_candidates if the capacity was too small).
     """
+    if stream.shape[0] == 0 or n_bytes < 2:
+        return (jnp.full(max_candidates, -1, jnp.int32),
+                jnp.zeros(max_candidates, bool), jnp.int32(0))
+
     # Byte planes -> flat byte array (vector ops only).
     w = stream.astype(jnp.int32)
     b = jnp.stack([(w >> 24) & 255, (w >> 16) & 255,
@@ -102,7 +106,7 @@ def find_frame_headers(stream, n_bytes, max_candidates):
 
     # Compact sync positions into stream order (scatter-by-rank).
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    count = jnp.where(mask.shape[0] > 0, rank[-1] + 1, 0)
+    count = rank[-1] + 1
     tgt = jnp.where(mask, rank, max_candidates)  # drop non-hits + overflow
     positions = jnp.full(max_candidates + 1, -1, jnp.int32).at[tgt].set(
         jnp.arange(b.shape[0], dtype=jnp.int32), mode="drop")[:-1]

@@ -107,7 +107,8 @@ def decode_streams_sharded(datas, mesh=None, use_native=True):
     """
     import os
 
-    from ..pipeline import decode_batches, _extract, _native_mod
+    from ..pipeline import (decode_batches, extract_streams_bits, _extract,
+                            _native_mod)
 
     if mesh is None:
         mesh = make_mesh()
@@ -116,16 +117,7 @@ def decode_streams_sharded(datas, mesh=None, use_native=True):
         if native is not None:
             from ..pipeline_bits import decode_raw_bits_device
 
-            mode = os.environ.get("CLAXON_TPU_ENTROPY", "stream")
-            if mode not in ("stream", "delta"):
-                mode = "stream"
-            if mode == "stream" and sum(len(d) for d in datas) >= (1 << 27):
-                mode = "delta"
-            defer = (mode == "stream" and
-                     not os.environ.get("CLAXON_TPU_HOST_CRC"))
-            braws = [native.extract_stream_bits(
-                d, emit_slots=(mode == "delta"), defer_crc=defer)
-                for d in datas]
+            braws, mode = extract_streams_bits(datas, native)
             return decode_raw_bits_device(
                 braws, lane_quantum(mesh), mode,
                 mesh=mesh).start_fetch().to_host()

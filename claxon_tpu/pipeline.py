@@ -642,18 +642,42 @@ def decode_streams(datas, use_native=True, decode_bucket=None,
                           decode_bucket, lane_quantum)
 
 
+def extract_streams_bits(datas, native):
+    """Bits-path extraction for a batch: pick the entropy mode and the
+    CRC placement, then walk every stream. Returns (braws, mode).
+
+    CLAXON_TPU_ENTROPY selects the kernel: "stream" (default -- raw frame
+    words ship once, chunk gather + in-chunk scan on device, minimal
+    uplink) or "delta" (host-relocated slots + per-sample gap bytes,
+    fully parallel). The stream kernel's chunk bases are int32 bit
+    offsets into the batch-wide upload, so oversized batches fall back to
+    delta. Stream mode ships the raw frame bytes, so frame CRC-16
+    verification moves to the device verifier too (the host walk stays
+    boundary-only); CLAXON_TPU_HOST_CRC=1 keeps it on the host.
+    """
+    import os
+
+    mode = os.environ.get("CLAXON_TPU_ENTROPY", "stream")
+    if mode not in ("stream", "delta"):
+        mode = "stream"
+    if mode == "stream" and sum(len(d) for d in datas) >= (1 << 27):
+        mode = "delta"
+    defer = (mode == "stream" and
+             not os.environ.get("CLAXON_TPU_HOST_CRC"))
+    braws = [native.extract_stream_bits(
+        d, emit_slots=(mode == "delta"), defer_crc=defer) for d in datas]
+    return braws, mode
+
+
 def decode_streams_device(datas, use_native=True,
                           lane_quantum=_L_QUANTUM) -> DeviceDecoded:
     """Decode many FLAC streams into device-resident PCM buckets -- the
     zero-host-round-trip path for feeding TPU consumers directly.
 
     With the native core available this takes the bits path (the entropy
-    decode runs on-chip; see pipeline_bits). CLAXON_TPU_ENTROPY selects
-    the kernel: "stream" (default -- raw frame words ship once, chunk
-    gather + in-chunk scan on device, minimal uplink) or "delta"
-    (host-relocated slots + per-sample gap bytes, fully parallel).
-    CLAXON_TPU_NO_BITS=1 forces the legacy sample-shipping path. All
-    paths are bit-exact.
+    decode runs on-chip; see pipeline_bits and extract_streams_bits for
+    the mode/CRC-placement knobs). CLAXON_TPU_NO_BITS=1 forces the legacy
+    sample-shipping path. All paths are bit-exact.
     """
     import os
 
@@ -662,24 +686,7 @@ def decode_streams_device(datas, use_native=True,
         if native is not None:
             if not os.environ.get("CLAXON_TPU_NO_BITS"):
                 from .pipeline_bits import decode_raw_bits_device
-                mode = os.environ.get("CLAXON_TPU_ENTROPY", "stream")
-                if mode not in ("stream", "delta"):
-                    mode = "stream"
-                # The stream kernel's chunk bases are int32 bit offsets
-                # into the batch-wide upload; oversized batches take the
-                # per-lane slot path instead.
-                if mode == "stream" and sum(
-                        len(d) for d in datas) >= (1 << 27):
-                    mode = "delta"
-                # Stream mode ships the raw frame bytes, so frame CRC-16
-                # verification moves to the device verifier too (the host
-                # walk stays boundary-only); CLAXON_TPU_HOST_CRC=1 keeps
-                # it on the host.
-                defer = (mode == "stream" and
-                         not os.environ.get("CLAXON_TPU_HOST_CRC"))
-                braws = [native.extract_stream_bits(
-                    d, emit_slots=(mode == "delta"), defer_crc=defer)
-                    for d in datas]
+                braws, mode = extract_streams_bits(datas, native)
                 return decode_raw_bits_device(braws, lane_quantum, mode)
             raws = [native.extract_stream_raw(d) for d in datas]
             return decode_raw_batches_device(raws, lane_quantum)

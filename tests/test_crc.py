@@ -161,3 +161,22 @@ def test_crc16_ranges_device_matches_scalar():
     got = np.asarray(jax.jit(crc16_ranges_device)(stream, starts, ends))
     want = np.array([crc16(raw[a:b]) for a, b in cases], np.int32)
     assert np.array_equal(got, want)
+
+
+def test_crc16_ranges_device_end_at_padded_boundary():
+    """Regression: a range ending exactly at the (granule-padded) stream
+    end must include the final granule in its prefix."""
+    import jax
+    import jax.numpy as jnp
+    from claxon_tpu.ops.crc import crc16_ranges_device
+
+    rng = np.random.default_rng(23)
+    raw = rng.integers(0, 256, 1024, dtype=np.uint8).tobytes()  # 256 words
+    stream = jnp.asarray(np.frombuffer(raw, np.uint8).copy().view(">i4")
+                         .astype(np.int32))  # 256 % 8 == 0: no padding
+    cases = [(0, 1024), (1, 1024), (1000, 1024), (992, 1024), (0, 992)]
+    starts = jnp.asarray(np.array([a for a, _ in cases], np.int32))
+    ends = jnp.asarray(np.array([b for _, b in cases], np.int32))
+    got = np.asarray(jax.jit(crc16_ranges_device)(stream, starts, ends))
+    want = np.array([crc16(raw[a:b]) for a, b in cases], np.int32)
+    assert np.array_equal(got, want)

@@ -74,3 +74,10 @@ def test_no_sync_no_candidates():
     payload = bytes(range(128)) * 16  # never contains 0xFF F8/F9
     pos, ok, count = _scan(payload)
     assert count == 0 and not ok.any()
+
+
+def test_empty_and_tiny_streams():
+    pos, ok, count = _scan(b"")
+    assert count == 0 and not ok.any()
+    pos, ok, count = _scan(b"\xff")
+    assert count == 0 and not ok.any()
