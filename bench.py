@@ -25,7 +25,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} --
 to-device rate, percentiles, corpus mix, and backend recorded as fields.
 """
 
-import hashlib
 import json
 import os
 import pathlib
@@ -103,10 +102,8 @@ def build_mixed_corpus():
 
 
 def pcm_md5(pcm, bps):
-    nbytes = (bps + 7) // 8
-    raw = np.ascontiguousarray(pcm, dtype="<i4").tobytes()
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :nbytes]
-    return hashlib.md5(arr.tobytes()).digest()
+    from claxon_tpu.testing import pcm_md5 as canonical
+    return canonical(pcm, bps)
 
 
 def verify_corpus(datas):
@@ -229,7 +226,7 @@ def main():
     # the first timed window.
     import jax
     warm = decode_streams_device(datas).sync()
-    warm_mixed = decode_streams_device(mixed).sync()
+    decode_streams_device(mixed).sync()  # mixed-corpus compile warm-up
 
     dev_msamples_s, dev_reps = time_to_device(
         decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
@@ -268,8 +265,6 @@ def main():
     h2d_probes = [probe_h2d()]
     bytes_per_sample = upload_bytes / max(total_samples, 1)
 
-    h2d_probes.append(probe_h2d())
-
     # ---- Phase 2: end-to-end to-host (d2h-bound by nature; the process
     # link is in its degraded regime now, which is this phase's reality).
     # Software-pipelined: batch n+1 extracts/dispatches while batch n's
@@ -302,6 +297,7 @@ def main():
         reps += w_reps
         if time.perf_counter() - bench_t0 > 120:
             break  # pathological stall phase: stop with what we have
+    h2d_probes.append(probe_h2d())  # mid-run phase sample
     rates.sort()
     mid = len(rates) // 2
     median = rates[mid] if len(rates) % 2 else \

@@ -11,7 +11,7 @@ pipeline (boundary-only host walk, on-device entropy decode --
 
 import io as _io
 
-from ..error import fmt_err
+from ..error import Error, fmt_err
 from ..io.readers import MemReader
 from ..metadata import read_metadata_block_with_header
 from .mp4 import read_flac_from_mp4
@@ -109,10 +109,25 @@ def decode_mp4_stream(data, use_native=True):
     native = _bits_native(use_native)
     use_bits = native is not None and len(data) < _BITS_PAYLOAD_CAP
     frames, batches = [], []
+
+    def _crc_before_error():
+        # Reference order parity: frames of EARLIER chunks (and of the
+        # current chunk's successful prefix) precede the error about to
+        # surface, so any deferred CRC mismatch among them wins -- the
+        # sequential reference would have hit it first. The C++ walker
+        # only re-verifies within one extract call; chunks are separate
+        # calls, so the cross-chunk pass happens here.
+        from ..pipeline_bits import _host_verify_deferred
+
+        for done in batches:
+            _host_verify_deferred(done, len(done.bframes))
+
     for offset, n in zip(track.chunk_offsets, track.samples_per_chunk):
         if not n:
             continue
         if not 0 <= offset < len(data):
+            if use_bits:
+                _crc_before_error()
             fmt_err("invalid MP4 chunk offset")
         nxt = [o for o in sorted_offsets if o > offset]
         end = nxt[0] if nxt else len(data)
@@ -120,16 +135,22 @@ def decode_mp4_stream(data, use_native=True):
         # any inter-chunk slack (`examples/decode_mp4.rs:132-167`).
         if use_bits:
             used = []
-            bb = native.extract_frames_bits(view[offset:end],
-                                            emit_slots=False, max_frames=n,
-                                            consumed=used,
-                                            defer_crc=_defer_crc())
-            if len(bb.bframes) < n:
-                fmt_err("MP4 chunk ends before its declared frame count")
+            try:
+                bb = native.extract_frames_bits(view[offset:end],
+                                                emit_slots=False,
+                                                max_frames=n,
+                                                consumed=used,
+                                                defer_crc=_defer_crc())
+            except Error:
+                _crc_before_error()
+                raise
             # Trim inter-chunk slack so merged chunk payloads reconstitute
             # a contiguous frame section.
             bb.payload = view[offset:offset + used[0]]
             batches.append(bb)
+            if len(bb.bframes) < n:
+                _crc_before_error()
+                fmt_err("MP4 chunk ends before its declared frame count")
             continue
         got = _extract_section(view[offset:end], use_native, max_frames=n)
         if len(got) < n:

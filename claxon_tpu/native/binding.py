@@ -267,9 +267,10 @@ def extract_frames_bits(payload, emit_slots=True, max_frames=None,
     ``max_frames`` bounds the walk (container chunks declare their frame
     count); ``consumed``, a one-element list, receives the byte length of
     the frames actually parsed. ``defer_crc`` skips host CRC-16
-    verification for frames the device verifier can check (their bframes
-    get flags bit 1; callers MUST run ops.crc.crc16_frames_device over
-    the flagged byte ranges and surface "frame CRC mismatch")."""
+    verification entirely (flagged frames get flags bit 1); callers MUST
+    then verify the flagged byte0/byte1 ranges -- production runs
+    ops.crc.crc16_ranges_device over the stream upload
+    (pipeline_bits._crc_program) and surfaces "frame CRC mismatch"."""
     lib = _require()
     buf = np.frombuffer(payload, dtype=np.uint8)
     err = ctypes.c_int32(0)

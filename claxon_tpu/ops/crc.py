@@ -5,15 +5,17 @@ polynomial 0x8005, init 0, MSB-first):
 
 * ``crc16_device`` -- one lane per message held as explicit byte columns,
   a `lax.scan` over columns. Simple; sequential in message length.
-* ``crc16_frames_device`` -- the production verifier for the stream-mode
-  bits pipeline: each frame's byte range is read straight out of the
-  uploaded stream words (the same upload the entropy kernel gathers
-  from), CRC'd per 4-byte word with the 256-entry table, and combined in
-  a log-depth GF(2) reduction tree using the zero-byte shift matrices
-  from ``claxon_tpu.crc.crc16_combine_matrices``. Fully parallel in both
-  frames and message length; checking a frame's bytes *including* its
-  trailing stored CRC yields 0 iff the CRC matches (init-0, non-reflected
-  CRC appended big-endian).
+* ``crc16_ranges_device`` -- THE PRODUCTION frame verifier for the
+  stream-mode bits pipeline: a whole-upload prefix-scan CRC (granule base
+  pass + Hillis-Steele combine with the zero-byte shift matrices from
+  ``claxon_tpu.crc.crc16_combine_matrices``), then per-frame CRCs from
+  two byte-granular prefix lookups. Checking a frame's bytes *including*
+  its trailing stored CRC yields 0 iff the CRC matches (init-0,
+  non-reflected CRC appended big-endian).
+* ``crc16_frames_device`` -- the earlier windowed form (right-aligned
+  per-frame windows over the upload); kept as an independent
+  implementation for differential tests. Its ``n_words`` caps the range
+  length, which the prefix form has no need of.
 """
 
 from functools import lru_cache
@@ -58,8 +60,11 @@ def crc16_device(data, lengths):
 @lru_cache(maxsize=1)
 def _combine_rows():
     """mats[k][i]: CRC-16 state basis vector i shifted across 2^k zero
-    bytes, as plain ints (baked into the program as constants)."""
-    return [[int(r) for r in row] for row in crc16_combine_matrices(24)]
+    bytes, as plain ints (baked into the program as constants). 28 levels
+    cover granule spans up to 2^27 bytes -- the bits pipeline's whole
+    batch-size cap -- with headroom (a shorter table would silently clamp
+    the prefix scan's shift for streams past 16 MiB)."""
+    return [[int(r) for r in row] for row in crc16_combine_matrices(28)]
 
 
 def _gf2_apply(rows, c):
@@ -143,9 +148,9 @@ def _partial_word_rows():
 
 @lru_cache(maxsize=1)
 def _combine_mats_arr():
-    """(24, 16) int32 constant of the zero-byte shift matrices, for
+    """(28, 16) int32 constant of the zero-byte shift matrices, for
     loop-form kernels (a fori_loop body indexes one matrix dynamically,
-    keeping the compiled graph one level deep instead of 24)."""
+    keeping the compiled graph one level deep)."""
     return np.array(_combine_rows(), dtype=np.int32)
 
 
@@ -185,10 +190,10 @@ def crc16_ranges_device(stream, starts, ends):
     prefix lookups:
 
         crc[a:b) = PB(b) ^ shift(PB(a), b - a)
-        PB(o)    = shift(P[o//4], o%4) ^ crc_partial(word[o//4], o%4)
+        PB(o)    = shift(P[o // 32], o % 32) ^ crc(partial granule)
 
-    where P is the exclusive word-prefix CRC. Only the final per-frame
-    lookups gather (4 x (F,) elements)."""
+    where P is the exclusive 8-word-granule prefix CRC. Only the final
+    per-frame lookups gather (a few (F,)-sized elements)."""
     S = stream.shape[0]
     G = _G
     Sp = -(-S // G) * G

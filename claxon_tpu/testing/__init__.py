@@ -11,5 +11,22 @@ role.
 from .flacgen import encode_flac, synth_music
 from .containers_gen import split_flac, mux_ogg_flac, mux_mp4_flac
 
+
+def pcm_md5(samples_interleaved, bits_per_sample):
+    """MD5 of the unencoded audio data, as stored in STREAMINFO: samples
+    interleaved, little-endian, ceil(bps/8) bytes each (reference
+    `src/lib.rs` STREAMINFO semantics). The single canonical helper --
+    the oracle packing must never diverge between tests, bench, and the
+    corpus verifier."""
+    import hashlib
+
+    import numpy as np
+
+    nbytes = (bits_per_sample + 7) // 8
+    raw = np.ascontiguousarray(samples_interleaved, dtype="<i4").tobytes()
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :nbytes]
+    return hashlib.md5(arr.tobytes()).digest()
+
+
 __all__ = ["encode_flac", "synth_music", "split_flac", "mux_ogg_flac",
-           "mux_mp4_flac"]
+           "mux_mp4_flac", "pcm_md5"]

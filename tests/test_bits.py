@@ -301,13 +301,9 @@ def test_bits_device_resident_sync():
 
 
 def _first_frame_span(data):
-    """(abs_byte0, abs_byte1) of frame 0, via a host-verified walk."""
-    import os
-    os.environ["CLAXON_TPU_HOST_CRC"] = "1"
-    try:
-        si, bb = native.extract_stream_bits(data, emit_slots=False)
-    finally:
-        del os.environ["CLAXON_TPU_HOST_CRC"]
+    """(abs_byte0, abs_byte1) of frame 0, via a host-verified walk
+    (defer_crc defaults to False)."""
+    si, bb = native.extract_stream_bits(data, emit_slots=False)
     from claxon_tpu.native.binding import _read_metadata
     _si, pos = _read_metadata(data)
     f0 = bb.bframes[0]

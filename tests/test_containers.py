@@ -310,3 +310,31 @@ def test_merge_bits_batches_rebases_chunk_positions():
     merged = native.merge_bits_batches([first, rest])
     dec = decode_raw_bits_device([(si, merged)]).to_host()[0]
     assert np.array_equal(dec.pcm, want)
+
+
+def test_mp4_deferred_crc_precedes_later_chunk_error():
+    """Cross-chunk reference order parity: a CRC-corrupt frame in chunk 1
+    must surface "frame CRC mismatch" even when chunk 2 is truncated (the
+    sequential reference hits the CRC failure first)."""
+    from claxon_tpu import native
+    from claxon_tpu.containers import decode_mp4_stream
+    from claxon_tpu.error import Error
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    flac = make_flac()
+    mp4 = bytearray(mux_mp4_flac(flac, frames_per_chunk=2))
+    track = read_flac_from_mp4(bytes(mp4))
+    # Corrupt the stored CRC-16 of chunk 0's first frame (frame parses).
+    off0 = track.chunk_offsets[0]
+    used = []
+    bb = native.extract_frames_bits(memoryview(bytes(mp4))[off0:],
+                                    emit_slots=False, max_frames=1,
+                                    consumed=used)
+    mp4[off0 + used[0] - 1] ^= 0xFF
+    # Truncate the file inside the LAST chunk.
+    last = max(track.chunk_offsets)
+    bad = bytes(mp4[:last + 4])
+    with pytest.raises(Error) as ei:
+        decode_mp4_stream(bad)
+    assert "frame CRC mismatch" in str(ei.value)

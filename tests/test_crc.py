@@ -180,3 +180,24 @@ def test_crc16_ranges_device_end_at_padded_boundary():
     got = np.asarray(jax.jit(crc16_ranges_device)(stream, starts, ends))
     want = np.array([crc16(raw[a:b]) for a, b in cases], np.int32)
     assert np.array_equal(got, want)
+
+
+def test_crc16_ranges_device_past_16mib():
+    """Regression: the shift-matrix table must cover the full batch-size
+    cap; a 24-entry table silently clamped the prefix shift for ranges
+    past 16 MiB of upload (wrong CRCs on big valid batches)."""
+    import jax
+    import jax.numpy as jnp
+    from claxon_tpu.ops.crc import crc16_ranges_device
+
+    n = 17 * (1 << 20)
+    rng = np.random.default_rng(24)
+    raw = np.zeros(n, np.uint8)
+    tail = rng.integers(0, 256, 8192, dtype=np.uint8)
+    raw[-8192:] = tail  # nonzero content only near the far end
+    stream = jnp.asarray(raw.view(">i4").astype(np.int32))
+    a, b = n - 5000, n - 1000
+    got = int(np.asarray(jax.jit(crc16_ranges_device)(
+        stream, jnp.asarray(np.array([a], np.int32)),
+        jnp.asarray(np.array([b], np.int32))))[0])
+    assert got == crc16(raw[a:b].tobytes())

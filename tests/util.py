@@ -1,6 +1,5 @@
 """Shared test helpers."""
 
-import hashlib
 
 import numpy as np
 
@@ -31,13 +30,7 @@ def interleave(blocks):
     return np.concatenate([arr.T for _, arr in blocks], axis=0)
 
 
-def pcm_md5(samples_interleaved, bits_per_sample):
-    """MD5 of the unencoded audio data, as stored in STREAMINFO: samples
-    interleaved, little-endian, ceil(bps/8) bytes each."""
-    nbytes = (bits_per_sample + 7) // 8
-    raw = np.ascontiguousarray(samples_interleaved, dtype="<i4").tobytes()
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :nbytes]
-    return hashlib.md5(arr.tobytes()).digest()
+from claxon_tpu.testing import pcm_md5  # noqa: F401 -- canonical helper
 
 
 def verify_md5(reader_blocks, streaminfo):

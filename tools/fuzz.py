@@ -135,13 +135,9 @@ def check_bits_walker_differential(data):
         except Error as e:
             return (type(e).__name__, str(e))
 
-    import os
-    os.environ["CLAXON_TPU_HOST_CRC"] = "1"
-    try:
-        host = outcome(lambda: native.extract_stream_bits(
-            data, emit_slots=False))
-    finally:
-        del os.environ["CLAXON_TPU_HOST_CRC"]
+    # defer_crc defaults to False: this walk verifies CRCs on the host.
+    host = outcome(lambda: native.extract_stream_bits(
+        data, emit_slots=False))
     sample = outcome(lambda: native.extract_stream(data))
     if host != sample:
         raise AssertionError(

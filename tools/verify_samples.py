@@ -40,12 +40,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def _pcm_md5(pcm, bps):
-    import hashlib
-
-    nbytes = (bps + 7) // 8
-    raw = np.ascontiguousarray(pcm, dtype="<i4").tobytes()
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :nbytes]
-    return hashlib.md5(arr.tobytes()).digest()
+    from claxon_tpu.testing import pcm_md5
+    return pcm_md5(pcm, bps)
 
 
 def random_stream(rng, max_samples=44100):
