@@ -63,7 +63,12 @@ def test_graft_entry_single_chip():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     out.block_until_ready()
-    assert out.shape == args[0].shape
+    # With the native core the entry step is the full bits program on a
+    # real encoded bucket: (L, T) PCM from (stream, mb) inputs. Without
+    # it, the synthesis step maps x -> out of the same shape.
+    L = args[-1].shape[0]
+    assert out.ndim == 2 and out.shape[0] == L
+    assert np.asarray(out).any()
 
 
 @needs_8
