@@ -121,20 +121,50 @@ def main():
                     help="force the CPU backend (identical kernels)")
     ap.add_argument("--no-device", action="store_true",
                     help="scalar + metadata checks only")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="split --generate across this many child "
+                         "processes (XLA:CPU accumulates JIT state; very "
+                         "large in-process runs can exhaust it)")
     args = ap.parse_args()
+
+    if args.shards > 1 and args.generate:
+        import subprocess
+
+        per = -(-args.generate // args.shards)
+        failed = 0
+        for i in range(args.shards):
+            n = min(per, args.generate - i * per)
+            if n <= 0:
+                break
+            cmd = [sys.executable, __file__, "--generate", str(n),
+                   "--seed", str(args.seed + 7919 * i),
+                   "--batch", str(args.batch)]
+            if args.cpu:
+                cmd.append("--cpu")
+            if args.no_device:
+                cmd.append("--no-device")
+            failed |= subprocess.call(cmd)
+        print("all shards done;", "FAILURES above" if failed else "all ok")
+        return failed
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # Randomized configs hit many (shape, class) program variants; the
-    # persistent cache makes repeat runs compile-free.
-    cache = pathlib.Path(__file__).resolve().parent.parent / ".bench_cache"
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          str(cache / "xla_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    else:
+        # Randomized configs hit many (shape, class) program variants; the
+        # persistent cache makes repeat TPU runs compile-free. CPU runs
+        # must NOT use it: XLA:CPU AOT cache entries fail to reload on
+        # this jax build (machine-feature mismatch -> LLVM alloc errors
+        # and SIGSEGV).
+        cache = (pathlib.Path(__file__).resolve().parent.parent /
+                 ".bench_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              str(cache / "xla_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
 
     from claxon_tpu.error import Error
 
