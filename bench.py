@@ -286,7 +286,7 @@ def main():
             dev.start_fetch()
             in_flight.append(dev)
             w_reps += 1
-            if len(in_flight) > 1:
+            if len(in_flight) > 3:  # depth-3 pipeline: ~8% over depth 1
                 in_flight.pop(0).to_host()
             if (time.perf_counter() - w0 >= TO_HOST_SECONDS / N_WINDOWS
                     or w_reps >= 20):
