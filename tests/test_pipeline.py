@@ -120,3 +120,22 @@ def test_pipeline_long_stream_multibucket():
     data = encode_flac(pcm, 44100, 16, block_size=2048)
     dec = assert_pipeline_matches(data)
     assert len(dec.frame_sizes) == (300000 + 2047) // 2048
+
+
+def test_decode_streams_pipelined_matches_scalar():
+    """The overlapped-batch corpus API returns every stream bit-exact and
+    in input order."""
+    from claxon_tpu import native
+    from claxon_tpu.pipeline import decode_streams_pipelined
+    from claxon_tpu.testing import encode_flac, synth_music
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    datas = [encode_flac(synth_music(1024 * (1 + s % 3), channels=2,
+                                     bps=16, seed=60 + s), 44100, 16,
+                         block_size=1024) for s in range(9)]
+    res = decode_streams_pipelined(datas, batch_streams=3, depth=2)
+    assert len(res) == len(datas)
+    for d, dec in zip(datas, res):
+        _si, pcm = native.decode_stream_scalar(d)
+        assert np.array_equal(dec.pcm, pcm)
