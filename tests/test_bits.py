@@ -372,3 +372,22 @@ def test_container_decode_device_crc():
     bad[b1 - 1] ^= 0xFF
     with pytest.raises(FormatError, match="frame CRC mismatch"):
         decode_ogg_stream(mux_ogg_flac(bytes(bad)))
+
+
+def test_decode_streams_device_empty_batch():
+    from claxon_tpu.pipeline import decode_streams_device
+
+    assert decode_streams_device([]).to_host() == []
+
+
+def test_delta_mode_rejects_deferred_crc_batches():
+    """Internal contract: a BitsBatch extracted with defer_crc must take
+    stream mode (the verifier reads the stream upload)."""
+    from claxon_tpu.pipeline_bits import decode_raw_bits_device
+
+    data = encode_flac(synth_music(1024, channels=1, bps=16, seed=90),
+                       44100, 16, block_size=1024)
+    si, bb = native.extract_stream_bits(data, emit_slots=True,
+                                        defer_crc=True)
+    with pytest.raises(RuntimeError, match="defer_crc"):
+        decode_raw_bits_device([(si, bb)], mode="delta")
