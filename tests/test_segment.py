@@ -81,3 +81,37 @@ def test_empty_and_tiny_streams():
     assert count == 0 and not ok.any()
     pos, ok, count = _scan(b"\xff")
     assert count == 0 and not ok.any()
+
+
+@pytest.mark.parametrize("spec", [
+    dict(channels=1, bps=16, block_size=576),
+    dict(channels=2, bps=24, block_size=2048),
+])
+def test_finds_boundaries_varied_formats(spec):
+    data = encode_flac(synth_music(4096 * 3, seed=35, channels=spec.pop(
+        "channels"), bps=spec["bps"]), 44100, spec.pop("bps"), **spec)
+    si, bb = native.extract_stream_bits(data, emit_slots=False)
+    from claxon_tpu.native.binding import _read_metadata
+    _si, fpos = _read_metadata(data)
+    pos, ok, count = _scan(data[fpos:])
+    found = set(int(p) for p, o in zip(pos, ok) if o and p >= 0)
+    true_starts = set(int(x) for x in bb.bframes["byte0"])
+    assert true_starts <= found
+
+
+def test_sync_heavy_payload_false_positives_bounded():
+    """Saturated audio maximizes 0xFF runs (sync-pattern hits) in the
+    payload; the CRC-8 gate must keep validated false positives rare."""
+    rng = np.random.default_rng(36)
+    pcm = np.where(rng.random((4096 * 4, 1)) < 0.5, -32768,
+                   rng.integers(-32768, 32768, (4096 * 4, 1))).astype(
+                       np.int64)
+    data = encode_flac(pcm, 44100, 16, block_size=4096)
+    si, bb = native.extract_stream_bits(data, emit_slots=False)
+    from claxon_tpu.native.binding import _read_metadata
+    _si, fpos = _read_metadata(data)
+    pos, ok, count = _scan(data[fpos:], max_candidates=16384)
+    found = set(int(p) for p, o in zip(pos, ok) if o and p >= 0)
+    true_starts = set(int(x) for x in bb.bframes["byte0"])
+    assert true_starts <= found
+    assert len(found - true_starts) <= max(8, count // 16)
