@@ -46,6 +46,9 @@ def main(argv):
 
     datas = [pathlib.Path(f).read_bytes() for f in argv]
     dev = decode_streams_device(datas)
+    # Device-resident consumers never fetch PCM, so they must surface the
+    # on-device frame CRC-16 verdict themselves before trusting buckets.
+    dev.verify_crc()
     results = analyze_buckets(dev)
     for fname, d in zip(argv, dev.results):
         print(f"{fname}: {d.pcm.shape[0]} samples x "
