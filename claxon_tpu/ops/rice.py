@@ -8,11 +8,11 @@ find-next-set-bit (emulated count-leading-zeros), quotient, k-bit
 remainder with word-straddle handling, and the u32-wrapping zig-zag map,
 all bit-exact with the host path (claxon `src/subframe.rs:309-351`).
 
-Production note (docs/performance.md): on current hardware the host must
-walk the residual bits anyway to segment the stream, and the uplink is not
-the bottleneck, so the pipeline keeps entropy decoding in the C++ core.
-This kernel is tested, exact, and ready for the speculative-segmentation
-design where raw frame bytes ship to the device.
+Production note: superseded in round 2 by ``ops.entropy`` (the stream and
+delta kernels wired into the default pipeline -- see pipeline_bits.py);
+this round-1 kernel remains as the simplest per-partition formulation and
+a second independent implementation for differential tests
+(tests/test_ops.py).
 
 Bit order: stream bit i lives in words[i >> 5] at bit (31 - (i & 31))
 (big-endian byte packing -- ``pack_bits_be`` on the host).
