@@ -162,17 +162,30 @@ def _gf2_apply_dyn(rows, c):
     return acc
 
 
+def _xor_select(w, rows, nbits=32):
+    """XOR of ``rows`` (a (..., nbits) or (nbits,) row table) selected by
+    the low ``nbits`` bits of ``w``, vectorized over the bit axis. For
+    SMALL arrays this beats the nbits-step select loop, which is
+    dominated by fixed per-op overhead on the TPU."""
+    bits = (w[..., None] >> jnp.arange(nbits, dtype=jnp.int32)) & 1
+    prods = jnp.where(bits != 0, rows, 0)
+    return jax.lax.reduce(prods, np.int32(0),
+                          jax.lax.bitwise_xor, [w.ndim])
+
+
 def _shift_by_bytes(c, n, max_log2=24):
     """shift(c, n): CRC state across n zero bytes, n a traced int32."""
     if max_log2 <= 4:
-        rows = _combine_rows()
+        mats = jnp.asarray(_combine_mats_arr())
         for j in range(max_log2):
-            c = jnp.where((n >> j) & 1 != 0, _gf2_apply(rows[j], c), c)
+            c = jnp.where((n >> j) & 1 != 0,
+                          _xor_select(c, mats[j], 16), c)
         return c
     mats = jnp.asarray(_combine_mats_arr())
 
     def body(j, c):
-        return jnp.where((n >> j) & 1 != 0, _gf2_apply_dyn(mats[j], c), c)
+        return jnp.where((n >> j) & 1 != 0,
+                         _xor_select(c, mats[j], 16), c)
 
     return jax.lax.fori_loop(0, max_log2, body, c)
 
@@ -213,22 +226,19 @@ def crc16_ranges_device(stream, starts, ends):
                                   jnp.int32(grows[j][i]), 0)
 
     # Inclusive granule-prefix CRC, A[g] = crc(granules[0..g]):
-    # Hillis-Steele with combine(x, y) = shift(x, bytes(y)) ^ y. The level
-    # loop is a fori_loop (one compiled body) -- the shift matrix for
-    # level l is mats[l + 5] (4*G * 2^l bytes with G = 8) and the span-l
-    # left operand comes from a zero-extended dynamic slice, so nothing in
-    # the body depends on l statically.
-    n_levels = max(1, (NG - 1).bit_length())
-    mats = jnp.asarray(_combine_mats_arr())
-    zpad = jnp.zeros(NG, acc.dtype)
-
-    def level(l, A):
-        span = jnp.int32(1) << l
-        left = jax.lax.dynamic_slice(
-            jnp.concatenate([zpad, A]), (NG - span,), (NG,))
-        return _gf2_apply_dyn(mats[l + 5], left) ^ A
-
-    A = jax.lax.fori_loop(0, n_levels, level, acc)
+    # Hillis-Steele with combine(x, y) = shift(x, bytes(y)) ^ y; the
+    # shift matrix for level l covers 4*G * 2^l zero bytes. Levels unroll
+    # statically (shifts are zero-padded static slices): at granule
+    # width the whole scan is a few hundred ops, and the unrolled form
+    # avoids the while-loop's per-level serialization.
+    rows = _combine_rows()
+    A = acc
+    span = 1
+    while span < NG:
+        k = 5 + span.bit_length() - 1
+        left = jnp.concatenate([jnp.zeros(span, A.dtype), A[:-span]])
+        A = _gf2_apply(rows[k], left) ^ A
+        span *= 2
     # Exclusive prefix with NG + 1 entries: P[NG] = crc of everything, so
     # a range ending exactly at the padded stream end (g == NG, r == 0)
     # still resolves (the clipped word gathers are masked by r == 0).
@@ -245,19 +255,24 @@ def crc16_ranges_device(stream, starts, ends):
         gp = jnp.clip(g, 0, NG - 1)
         r = o & (4 * G - 1)
         base = _shift_by_bytes(P[g], r, max_log2=5)
+        wr = jnp.asarray(np.array(wrows, np.int32))
+        pr = jnp.asarray(np.array(prows, np.int32))  # (4, 32)
         state = jnp.zeros_like(o)
         for j in range(G):
             w = gw[:, j][gp]
-            t = jnp.clip(r - 4 * j, 0, 4)
-            state = _shift_by_bytes(state, t, max_log2=3)
-            for i in range(32):
-                sel = jnp.where(
-                    t == 4, jnp.int32(wrows[i]),
-                    jnp.where(t == 1, jnp.int32(prows[1][i]),
-                              jnp.where(t == 2, jnp.int32(prows[2][i]),
-                                        jnp.int32(prows[3][i]))))
-                sel = jnp.where(t == 0, 0, sel)
-                state = state ^ jnp.where((w >> i) & 1 != 0, sel, 0)
+            t = (jnp.clip(r - 4 * j, 0, 4))[:, None]
+            state = _shift_by_bytes(state, t[:, 0], max_log2=3)
+            # Row table per element, selected by t (bit ops vectorized
+            # over the 32-bit axis -- per-op overhead dominates (F,)-sized
+            # select loops on the TPU).
+            sel = jnp.where(t == 4, wr,
+                            jnp.where(t == 1, pr[1],
+                                      jnp.where(t == 2, pr[2], pr[3])))
+            sel = jnp.where(t == 0, 0, sel)
+            bits = (w[:, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+            state = state ^ jax.lax.reduce(
+                jnp.where(bits != 0, sel, 0), np.int32(0),
+                jax.lax.bitwise_xor, [1])
         return base ^ state
 
     starts = starts.astype(jnp.int32)
