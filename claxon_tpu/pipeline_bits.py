@@ -451,14 +451,19 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             out_packed = out_packed and all(r["bps"] <= 16 for r in run)
             lane += nl
 
+        # Under a mesh, per-lane arrays go to the jitted program as numpy:
+        # its in_shardings place them on the mesh's devices directly. A
+        # jnp.asarray here would land on the process default device, which
+        # may be a DIFFERENT (even broken) backend than the mesh -- the
+        # round-2 dryrun failure mode.
+        _put = jnp.asarray if mesh is None else (lambda a: a)
         if mode == "stream":
             prog = _stream_program(P, SA, out_packed, mesh=mesh)
-            args = (stream_dev, jnp.asarray(mb))
+            args = (stream_dev, _put(mb))
             upload_bytes += mb.nbytes
         else:
             prog = _bits_program(P, SA, out_packed, mesh=mesh)
-            args = (jnp.asarray(slots), jnp.asarray(deltas),
-                    jnp.asarray(ks), jnp.asarray(meta))
+            args = (_put(slots), _put(deltas), _put(ks), _put(meta))
             upload_bytes += (slots.nbytes + deltas.nbytes + ks.nbytes +
                              meta.nbytes)
         if out_packed:
@@ -515,9 +520,9 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         upload_bytes += x.nbytes
         prog = (_decode_program(in_packed, out_packed) if mesh is None
                 else _sample_program_sharded(in_packed, out_packed, mesh))
-        args = (jnp.asarray(x), jnp.asarray(coefs), jnp.asarray(shifts),
-                jnp.asarray(orders), jnp.asarray(wasted),
-                jnp.asarray(pair_modes), jnp.asarray(lengths))
+        _put = jnp.asarray if mesh is None else (lambda a: a)  # see above
+        args = (_put(x), _put(coefs), _put(shifts), _put(orders),
+                _put(wasted), _put(pair_modes), _put(lengths))
         if out_packed:
             out, flag, chunks = prog(*args)
             dispatches.append(_BucketDispatch([], n_ch, out, chunks, True,

@@ -78,6 +78,33 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_never_touches_other_backends():
+    """Round-2 regression: dryrun_multichip crashed when the process
+    default (TPU) backend was broken, because some per-bucket arrays were
+    placed on the default device instead of the CPU mesh. The dryrun's
+    contract is to be CPU-only regardless of any other backend's health:
+    run it in a fresh process (no XLA_FLAGS pin, platform default as the
+    environment ships it) and assert no non-CPU backend ever initialized.
+    """
+    import os
+    import subprocess
+
+    root = str(pathlib.Path(__file__).resolve().parent.parent)
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __graft_entry__ as ge\n"
+        "ge.dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge as xb\n"
+        "inited = set(getattr(xb, '_backends', {}))\n"
+        "assert inited <= {'cpu'}, 'non-CPU backends touched: %%s' %% inited\n"
+        "print('DRYRUN_OK')\n" % root)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, env=env, timeout=900, cwd=root)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DRYRUN_OK" in r.stdout
+
+
 @needs_8
 def test_decode_streams_sharded():
     from claxon_tpu.parallel import decode_streams_sharded
