@@ -230,6 +230,13 @@ class DeviceDecoded:
     packed form when the whole bucket fits (half the link bytes) and falling
     back to int32 when the device-side overflow flag fires (invalid
     streams' garbage-not-crash contract).
+
+    REQUIRED for device-resident consumers: on the stream-mode bits path
+    frame CRC-16 verification runs on device, and its verdict surfaces
+    only through ``verify_crc()`` (which ``sync()``/``to_host()`` call).
+    A consumer that reads HBM buckets directly and never calls any of the
+    three will not learn of a frame CRC mismatch -- call ``sync()`` (the
+    completion barrier + CRC check) before trusting bucket contents.
     """
     results: List["DecodedStream"]
     frames: list
@@ -264,14 +271,21 @@ class DeviceDecoded:
         """Surface a device-verified frame CRC-16 mismatch (stream-mode
         bits path; reference wording `src/frame.rs:752-763` semantics).
         Idempotent; called by sync()/to_host(), and the entry point for
-        device-resident consumers that never fetch PCM."""
+        device-resident consumers that never fetch PCM. A detected
+        mismatch latches: every later verify_crc()/sync()/to_host() on
+        this batch re-raises (so a caught first error cannot be followed
+        by silently fetching the corrupt PCM)."""
         if self.crc_check is None:
             return
-        vals, n = self.crc_check
-        self.crc_check = None
-        if np.asarray(vals)[:n].any():
+        if self.crc_check == "failed":
             from .error import fmt_err
             fmt_err("frame CRC mismatch")
+        vals, n = self.crc_check
+        if np.asarray(vals)[:n].any():
+            self.crc_check = "failed"
+            from .error import fmt_err
+            fmt_err("frame CRC mismatch")
+        self.crc_check = None
 
     def start_fetch(self):
         """Begin the device-to-host copies of every transfer chunk without
@@ -280,7 +294,7 @@ class DeviceDecoded:
         if self._fetch_started:
             return self
         self._fetch_started = True
-        if self.crc_check is not None:
+        if self.crc_check is not None and self.crc_check != "failed":
             self.crc_check[0].copy_to_host_async()
         for d in self.dispatches:
             if d.flag is not None:

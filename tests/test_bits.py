@@ -329,6 +329,25 @@ def test_device_crc_flags_corrupt_frame():
     assert np.array_equal(dec.pcm, pcm)
 
 
+def test_device_crc_failure_latches():
+    """A caught CRC error must not be one-shot: a later to_host() on the
+    same batch re-raises instead of silently returning corrupt PCM."""
+    from claxon_tpu.error import FormatError
+
+    data = encode_flac(synth_music(1024 * 2, channels=2, bps=16, seed=81),
+                       44100, 16, block_size=1024)
+    b0, b1 = _first_frame_span(data)
+    bad = bytearray(data)
+    bad[b1 - 1] ^= 0xFF
+    dd = decode_streams_device([bytes(bad)])
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        dd.verify_crc()
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        dd.to_host()
+    with pytest.raises(FormatError, match="frame CRC mismatch"):
+        dd.sync()
+
+
 def test_device_crc_host_knob(monkeypatch):
     from claxon_tpu.error import FormatError
 
