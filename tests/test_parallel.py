@@ -78,6 +78,60 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.parametrize("n", [16, 32])
+def test_sharded_wider_meshes(n):
+    """The README's 16/32-virtual-device claim, reproducible from the
+    tree: a fresh process forces an n-device CPU platform, runs
+    decode_streams_sharded, and checks bit-exactness against the host
+    scalar oracle plus a collective-free compiled stream program."""
+    import os
+    import subprocess
+
+    root = str(pathlib.Path(__file__).resolve().parent.parent)
+    script = (
+        "import sys, os; sys.path.insert(0, %r)\n"
+        "os.environ['XLA_FLAGS'] = ('--xla_force_host_platform_"
+        "device_count=%d')\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == %d\n"
+        "import numpy as np\n"
+        "import claxon_tpu.pipeline_bits as pb\n"
+        "from claxon_tpu import native\n"
+        "from claxon_tpu.parallel import make_mesh, decode_streams_sharded\n"
+        "from claxon_tpu.testing import encode_flac, synth_music\n"
+        "datas = [encode_flac(synth_music(1024 * 3, channels=2, bps=16,\n"
+        "                                 seed=s), 44100, 16,\n"
+        "                     block_size=1024) for s in (41, 42)]\n"
+        "captured = {}\n"
+        "orig = pb._stream_program\n"
+        "def capture(*key, **kw):\n"
+        "    prog = orig(*key, **kw)\n"
+        "    def wrapped(*args):\n"
+        "        captured.setdefault('pa', (prog, args))\n"
+        "        return prog(*args)\n"
+        "    return wrapped\n"
+        "pb._stream_program = capture\n"
+        "try:\n"
+        "    res = decode_streams_sharded(datas, make_mesh(%d))\n"
+        "finally:\n"
+        "    pb._stream_program = orig\n"
+        "for data, dec in zip(datas, res):\n"
+        "    _si, pcm = native.decode_stream_scalar(data)\n"
+        "    assert np.array_equal(dec.pcm, pcm), 'not bit-exact'\n"
+        "if 'pa' in captured:\n"
+        "    prog, pargs = captured['pa']\n"
+        "    hlo = prog.lower(*pargs).compile().as_text()\n"
+        "    for op in ('all-reduce', 'all-gather', 'collective-permute',\n"
+        "               'all-to-all', 'reduce-scatter'):\n"
+        "        assert op not in hlo, op\n"
+        "print('MESH%d_OK')\n" % (root, n, n, n, n))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, env=env, timeout=900, cwd=root)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"MESH{n}_OK" in r.stdout
+
+
 def test_dryrun_multichip_never_touches_other_backends():
     """Round-2 regression: dryrun_multichip crashed when the process
     default (TPU) backend was broken, because some per-bucket arrays were
