@@ -232,20 +232,38 @@ def _host_verify_deferred(bb, before_idx):
             fmt_err("frame CRC mismatch")
 
 
-def _runs(recs):
-    """Group bucket records into contiguous-lane runs: consecutive frames
-    of one stream with one block size have contiguous spans in every flat
-    array, so each run is a handful of bulk numpy copies."""
-    i = 0
-    while i < len(recs):
-        j = i
-        while (j + 1 < len(recs)
-               and recs[j + 1]["si"] == recs[j]["si"]
-               and recs[j + 1]["bs"] == recs[j]["bs"]
-               and recs[j + 1]["lane"] == recs[j]["lane"] + recs[j]["nch"]):
-            j += 1
-        yield recs[i:j + 1]
-        i = j + 1
+def _excl_cumsum(v):
+    """Exclusive cumsum with the same length as ``v`` (handles empty)."""
+    return np.cumsum(v) - v
+
+
+def _group_runs(g_si, g_bs, g_lane0, n_ch):
+    """Split a bucket group (frame vectors in stream order) into
+    contiguous-lane runs: consecutive frames of one stream with one block
+    size have contiguous spans in every flat array, so each run is a
+    handful of bulk numpy copies. Returns (starts, ends) index pairs."""
+    n = len(g_si)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    brk = np.flatnonzero((g_si[1:] != g_si[:-1])
+                         | (g_bs[1:] != g_bs[:-1])
+                         | (g_lane0[1:] != g_lane0[:-1] + n_ch)) + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [n]])
+    return starts, ends
+
+
+def _scatter_ks(ks, lane, nl, nparts, src, ko):
+    """Bulk-scatter each lane's Rice parameters into its ks row (replaces
+    the former per-lane Python loop): lane j gets src[ko+cum[j] :
+    ko+cum[j]+nparts[j]] in columns [0, nparts[j])."""
+    npr = nparts.astype(np.int64)
+    tot = int(npr.sum())
+    if not tot:
+        return
+    rows = np.repeat(np.arange(nl) + lane, npr)
+    cols = np.arange(tot) - np.repeat(_excl_cumsum(npr), npr)
+    ks[rows, cols] = src[ko:ko + tot]
 
 
 def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
@@ -266,9 +284,11 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
     """
     from .error import fmt_err
     from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
-                           _decode_program, _pack_input_i16, _t_bucket_of,
+                           _decode_program, _pack_input_i16, _T_BUCKETS,
                            bucket_shape, _L_QUANTUM, _LITTLE_ENDIAN)
     from .ops.predict import ORDER_MAX
+
+    _T_BUCKETS_V = np.asarray(_T_BUCKETS, dtype=np.int64)
 
     if lane_quantum is None:
         lane_quantum = _L_QUANTUM
@@ -358,34 +378,48 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             streaminfo=si, pcm=pcm,
             frame_times=bf["time"].tolist(),
             frame_sizes=bf["block_size"].tolist()))
+        if len(bf) == 0:
+            continue
 
-        for i in range(len(bf)):
-            lane = int(lane0_v[i])
-            rec = {"si": si_idx, "bb": bb, "bs": int(bs_v[i]),
-                   "nch": int(nch_v[i]), "mode": int(bf["mode"][i]),
-                   "bps": int(bf["bps"][i]), "lane": lane,
-                   "out0": int(out0_v[i]), "nc": int(nc_v[i]),
-                   "sa": int(sa_v[i]), "d0": int(d_off[lane]),
-                   "s0": int(s_off[lane]), "x0": int(x_off[lane]),
-                   "k0": int(k_off[lane]), "b0": int(b_off[lane])}
-            t_bucket = _t_bucket_of(rec["bs"])
-            if fb_v[i]:
-                smp_groups.setdefault((t_bucket, rec["nch"]),
-                                      []).append(rec)
+        # Vectorized group assignment: one composite key per frame, one
+        # numpy "chunk" per (stream, group) -- no per-frame Python objects
+        # (the former rec-dict loop dominated host time on mixed corpora).
+        tb_idx = np.searchsorted(_T_BUCKETS_V, bs_v)
+        np_max = np.maximum.reduceat(k_sz, lane0_v)  # per-frame, over lanes
+        key_v = (fb_v.astype(np.int64) << 48) | (tb_idx << 40) \
+            | (nch_v << 20) | sa_v
+        for kv in np.unique(key_v):
+            idx = np.flatnonzero(key_v == kv)
+            i0 = idx[0]
+            chunk = {
+                "si": np.full(len(idx), si_idx, dtype=np.int64),
+                "bs": bs_v[idx], "lane0": lane0_v[idx],
+                "out0": out0_v[idx], "nc": nc_v[idx],
+                "mode": bf["mode"][idx].astype(np.int64),
+                "bps": bf["bps"][idx].astype(np.int64),
+                "d0": d_off[lane0_v[idx]], "s0": s_off[lane0_v[idx]],
+                "x0": x_off[lane0_v[idx]], "k0": k_off[lane0_v[idx]],
+                "b0": b_off[lane0_v[idx]], "np_max": np_max[idx],
+            }
+            t_bucket, n_ch = int(_T_BUCKETS_V[tb_idx[i0]]), int(nch_v[i0])
+            if fb_v[i0]:
+                smp_groups.setdefault((t_bucket, n_ch), []).append(chunk)
             else:
-                bit_groups.setdefault((t_bucket, rec["nch"], rec["sa"]),
-                                      []).append(rec)
+                bit_groups.setdefault((t_bucket, n_ch, int(sa_v[i0])),
+                                      []).append(chunk)
 
     dispatches, plans = [], []
 
-    for (t_bucket, n_ch, SA), recs in bit_groups.items():
-        n_lanes = sum(r["nch"] for r in recs)
+    for (t_bucket, n_ch, SA), chunks in bit_groups.items():
+        g = {f: np.concatenate([c[f] for c in chunks])
+             for f in ("si", "bs", "lane0", "out0", "nc", "mode", "bps",
+                       "d0", "s0", "k0", "b0", "np_max")}
+        n_frames = len(g["si"])
+        n_lanes = n_frames * n_ch
         L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
         NC = (T + 31) // 32
         T_ext = NC * 32
-        P = _p_class(max(
-            int(r["bb"].bsubs["n_parts"][r["lane"] + c])
-            for r in recs for c in range(r["nch"])))
+        P = _p_class(int(g["np_max"].max()))
 
         if mode == "stream":
             # The per-lane bucket state rides ONE coalesced int32 array
@@ -410,25 +444,28 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
         lane = 0
         plan = []
-        out_packed = _LITTLE_ENDIAN and T_ext % 2 == 0
-        for run in _runs(recs):
-            bb = run[0]["bb"]
-            nl = len(run) * n_ch
-            bs, nc = run[0]["bs"], run[0]["nc"]
-            sub0 = run[0]["lane"]
-            plan.append((run[0]["si"], run[0]["out0"], len(run), bs, n_ch,
-                         lane))
+        out_packed = (_LITTLE_ENDIAN and T_ext % 2 == 0
+                      and int(g["bps"].max()) <= 16)
+        starts, ends = _group_runs(g["si"], g["bs"], g["lane0"], n_ch)
+        for st, en in zip(starts, ends):
+            si = int(g["si"][st])
+            bb = braws[si][1]
+            nf = int(en - st)
+            nl = nf * n_ch
+            bs, nc = int(g["bs"][st]), int(g["nc"][st])
+            sub0 = int(g["lane0"][st])
+            plan.append((si, int(g["out0"][st]), nf, bs, n_ch, lane))
             if mode == "stream":
+                b0 = int(g["b0"][st])
                 bases[lane:lane + nl, :nc] = \
-                    bb.bases[run[0]["b0"]:run[0]["b0"] + nl * nc].reshape(
-                        nl, nc) + stream_bit_off[run[0]["si"]]
+                    bb.bases[b0:b0 + nl * nc].reshape(nl, nc) \
+                    + stream_bit_off[si]
             else:
+                d0, s0 = int(g["d0"][st]), int(g["s0"][st])
                 deltas[lane:lane + nl, :bs] = \
-                    bb.deltas[run[0]["d0"]:run[0]["d0"] + nl * bs].reshape(
-                        nl, bs)
+                    bb.deltas[d0:d0 + nl * bs].reshape(nl, bs)
                 slots3[lane:lane + nl, :nc, :] = \
-                    bb.slots[run[0]["s0"]:run[0]["s0"] + nl * nc * SA] \
-                    .reshape(nl, nc, SA)
+                    bb.slots[s0:s0 + nl * nc * SA].reshape(nl, nc, SA)
             subs = bb.bsubs[sub0:sub0 + nl]
             m = meta[lane:lane + nl]
             m[:, 0] = subs["order"]
@@ -440,15 +477,10 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             m[:, 6] = bs
             m[:, 8:40] = subs["warm"]
             m[:, 40:72] = subs["coefs"]
-            ko = run[0]["k0"]
-            for j in range(nl):
-                nparts = int(subs["n_parts"][j])
-                ks[lane + j, :nparts] = bb.ks[ko:ko + nparts]
-                ko += nparts
+            _scatter_ks(ks, lane, nl, subs["n_parts"], bb.ks,
+                        int(g["k0"][st]))
             if n_ch == 2:
-                meta[lane:lane + nl, 7] = np.repeat(
-                    [r["mode"] for r in run], 2)
-            out_packed = out_packed and all(r["bps"] <= 16 for r in run)
+                meta[lane:lane + nl, 7] = np.repeat(g["mode"][st:en], 2)
             lane += nl
 
         # Under a mesh, per-lane arrays go to the jitted program as numpy:
@@ -477,8 +509,10 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
     # Fallback frames: the legacy sample-shipping program (x rows come from
     # the walker's host-decoded samples buffer).
-    for (t_bucket, n_ch), recs in smp_groups.items():
-        n_lanes = sum(r["nch"] for r in recs)
+    for (t_bucket, n_ch), chunks in smp_groups.items():
+        g = {f: np.concatenate([c[f] for c in chunks])
+             for f in ("si", "bs", "lane0", "out0", "mode", "bps", "x0")}
+        n_lanes = len(g["si"]) * n_ch
         L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
         x = np.zeros((L, T), dtype=np.int32)
         coefs = np.zeros((L, ORDER_MAX), dtype=np.int32)
@@ -490,16 +524,18 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
 
         lane = 0
         plan = []
-        for run in _runs(recs):
-            bb = run[0]["bb"]
-            nl = len(run) * n_ch
-            bs = run[0]["bs"]
-            sub0 = run[0]["lane"]
-            plan.append((run[0]["si"], run[0]["out0"], len(run), bs, n_ch,
-                         lane))
+        starts, ends = _group_runs(g["si"], g["bs"], g["lane0"], n_ch)
+        for st, en in zip(starts, ends):
+            si = int(g["si"][st])
+            bb = braws[si][1]
+            nf = int(en - st)
+            nl = nf * n_ch
+            bs = int(g["bs"][st])
+            sub0 = int(g["lane0"][st])
+            plan.append((si, int(g["out0"][st]), nf, bs, n_ch, lane))
+            x0 = int(g["x0"][st])
             x[lane:lane + nl, :bs] = \
-                bb.samples[run[0]["x0"]:run[0]["x0"] + nl * bs].reshape(
-                    nl, bs)
+                bb.samples[x0:x0 + nl * bs].reshape(nl, bs)
             subs = bb.bsubs[sub0:sub0 + nl]
             orders[lane:lane + nl] = subs["order"]
             shifts[lane:lane + nl] = subs["shift"]
@@ -507,8 +543,7 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             coefs[lane:lane + nl] = subs["coefs"]
             lengths[lane:lane + nl] = bs
             if n_ch == 2:
-                pair_modes[lane // 2:lane // 2 + len(run)] = \
-                    [r["mode"] for r in run]
+                pair_modes[lane // 2:lane // 2 + nf] = g["mode"][st:en]
             lane += nl
 
         in_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
@@ -516,7 +551,7 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         if in_packed:
             x = _pack_input_i16(x)
         out_packed = (_LITTLE_ENDIAN and T % 2 == 0 and
-                      all(r["bps"] <= 16 for r in recs))
+                      int(g["bps"].max()) <= 16)
         upload_bytes += x.nbytes
         prog = (_decode_program(in_packed, out_packed) if mesh is None
                 else _sample_program_sharded(in_packed, out_packed, mesh))
