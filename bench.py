@@ -329,6 +329,12 @@ def main():
     h2d_mbps = sorted(h2d_probes)[len(h2d_probes) // 2]
     link_ceiling = (h2d_mbps * 1e6 / bytes_per_sample / 1e6
                     if bytes_per_sample else 0.0)
+    # Ceiling-normalized efficiency: the phase-stable figures of merit
+    # (VERDICT r2 item 6 -- a bad link phase shifts both the rate and the
+    # ceiling, so their ratio survives phase luck).
+    eff = (dev_msamples_s / link_ceiling) if link_ceiling else 0.0
+    eff_mixed = (mixed_dev_msamples_s / link_ceiling) if link_ceiling \
+        else 0.0
 
     backend = "pallas" if (jax.devices()[0].platform == "tpu"
                            and not os.environ.get("CLAXON_TPU_NO_PALLAS")) \
@@ -342,10 +348,14 @@ def main():
         "to_device_vs_baseline": round(dev_msamples_s / BASELINE_MSAMPLES_S,
                                        3),
         "to_device_mixed_msamples_s": round(mixed_dev_msamples_s, 3),
+        "link_efficiency": round(eff, 3),
+        "link_efficiency_mixed": round(eff_mixed, 3),
         "device_resident_msamples_s": round(resident_msamples_s, 3),
         "device_resident_reps": resident_reps,
         "to_host_p10_msamples_s": round(p10, 3),
         "to_host_p90_msamples_s": round(p90, 3),
+        "to_host_window_rates_msamples_s": [round(r / 1e6, 3)
+                                            for r in rates],
         "host_scalar_msamples_s": round(scalar_msamples_s, 3),
         "synthesis_backend": backend,
         "entropy_decode": "device" if not os.environ.get(
