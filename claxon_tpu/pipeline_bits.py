@@ -88,8 +88,90 @@ def _bits_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
 
 #: meta columns: 0 order, 1 shift, 2 wasted, 3 ps, 4 pbits, 5 flags,
 #: 6 length, 7 pair mode (on both lanes of a pair), 8:40 warm-up,
-#: 40:72 coefs.
+#: 40:72 coefs.  (delta-mode layout; stream mode ships the packed _MB
+#: layout below.)
 _META_W = 72
+
+#: Packed stream-mode per-lane upload layout (int32 words). Everything
+#: that fits 16 bits rides int16 halfword pairs (little-endian low half
+#: first); the device unpacks with shifts, which XLA fuses into the
+#: program for free, halving the per-lane metadata bytes on the link:
+#:   word 0:            A = order | shift<<6 | wasted<<12 | pbits<<17
+#:                          | flags<<20 | pair_mode<<23
+#:   word 1:            ps (samples per partition)
+#:   word 2:            length (block size)
+#:   word 3:            base0 (absolute bit position of chunk 0)
+#:   words 4:36:        warm-up samples (full-width int32)
+#:   words 36:52:       QLP coefficients, int16 pairs (precision <= 15
+#:                      bits, claxon src/subframe.rs:670-701)
+#:   words 52:52+BD:    chunk-base deltas, int16 pairs, BD=ceil((NC-1)/2)
+#:                      (a 32-sample chunk spans < 2^13 bits: codes are
+#:                      <= 64 bits each, so int16 is ample)
+#:   words 52+BD..+KP:  per-partition Rice parameters, int16 pairs,
+#:                      KP=ceil(P/2)
+_MB_FIXED = 52
+
+
+def _mb_width(nc, p):
+    """Packed stream-mode mb width in int32 words."""
+    return _MB_FIXED + (nc - 1 + 1) // 2 + (p + 1) // 2
+
+
+def _unpack_i16(words, n):
+    """(L, W) int32 halfword pairs -> (L, n) int32, sign-extended."""
+    jnp = _jnp()
+    lo = (words << 16) >> 16
+    hi = words >> 16
+    L = words.shape[0]
+    return jnp.stack([lo, hi], axis=-1).reshape(L, -1)[:, :n]
+
+
+def stream_step_fn(n_parts_max, sa, nc, platform=None):
+    """The unjitted stream-bucket step fn(stream, mb) -> (L, T) int32:
+    unpack the packed mb upload (see _MB_FIXED layout), then entropy
+    decode -> synthesis -> epilogue. Shared by the production program,
+    the driver compile check (__graft_entry__.entry) and tests."""
+    from .ops.entropy import decode_residual_bits_stream
+    from .ops.predict import synthesize_best
+
+    jnp = _jnp()
+    bd = (nc - 1 + 1) // 2
+    kp = (n_parts_max + 1) // 2
+
+    def step(stream, mb):
+        L = mb.shape[0]
+        a = mb[:, 0]
+        orders = a & 63
+        shifts = (a >> 6) & 63
+        wasted = (a >> 12) & 31
+        pbits = (a >> 17) & 7
+        flags = (a >> 20) & 7
+        # The channel-assignment mode rides BOTH lanes of a stereo pair;
+        # the pair vector falls out of a reshape, which stays local under
+        # lane sharding (a [:L//2] slice would cross shard boundaries).
+        pair_modes = ((a >> 23) & 7).reshape(L // 2, 2)[:, 0]
+        ps = mb[:, 1]
+        lengths = mb[:, 2]
+        base0 = mb[:, 3]
+        warm = mb[:, 4:36]
+        coefs = _unpack_i16(mb[:, 36:52], 32)
+        if nc > 1:
+            deltas = _unpack_i16(mb[:, _MB_FIXED:_MB_FIXED + bd], nc - 1)
+            bases = base0[:, None] + jnp.concatenate(
+                [jnp.zeros((L, 1), jnp.int32),
+                 jnp.cumsum(deltas, axis=1, dtype=jnp.int32)], axis=1)
+        else:
+            bases = base0[:, None]
+        ks = _unpack_i16(mb[:, _MB_FIXED + bd:_MB_FIXED + bd + kp],
+                         n_parts_max)
+        x = decode_residual_bits_stream(stream, bases, ks, ps, orders,
+                                        pbits, flags, warm, lengths,
+                                        n_parts_max=n_parts_max, sa=sa)
+        out = synthesize_best(x, coefs, shifts, orders, lengths,
+                              platform=platform)
+        return apply_epilogue(out, wasted, pair_modes)
+
+    return step
 
 #: stream upload padded to this many words, so corpora of nearby sizes
 #: share one compiled program (XLA shapes are static).
@@ -117,41 +199,20 @@ def _jit_bucket_program(fn, mesh, stream_arg=False):
 
 
 @lru_cache(maxsize=None)
-def _stream_program(n_parts_max, sa, out_packed, chunked=True, mesh=None):
+def _stream_program(n_parts_max, sa, nc, out_packed, chunked=True,
+                    mesh=None):
     """The minimal-uplink bits program: the raw frame-section words cross
-    the link once; chunk words are gathered on device and parsed by the
-    in-chunk scan (ops.entropy.decode_residual_bits_stream)."""
-    from .ops.entropy import decode_residual_bits_stream
-    from .ops.predict import synthesize_best
+    the link once (with the packed per-lane mb upload, _MB_FIXED layout);
+    chunk words are gathered on device and parsed by the in-chunk scan
+    (ops.entropy.decode_residual_bits_stream)."""
     from .pipeline import _split_lanes, _FETCH_CHUNKS
 
     platform = None if mesh is None else mesh.devices.flat[0].platform
     n_chunks = _FETCH_CHUNKS if mesh is None else 1  # see _bits_program
+    step = stream_step_fn(n_parts_max, sa, nc, platform=platform)
 
     def prog(stream, mb):
-        # mb coalesces the whole per-lane bucket state into ONE int32
-        # upload (each h2d on the tunneled backend pays a round trip):
-        # columns [0, _META_W) = meta, then NC chunk bit bases, then the
-        # n_parts_max Rice parameters.
-        L = mb.shape[0]
-        meta = mb[:, :_META_W]
-        bases = mb[:, _META_W:mb.shape[1] - n_parts_max]
-        ks = mb[:, mb.shape[1] - n_parts_max:]
-        orders, shifts, wasted, ps, pbits, flags, lengths = (
-            meta[:, i] for i in range(7))
-        # Column 7 carries the frame's channel-assignment mode on BOTH
-        # lanes of a stereo pair; the pair vector falls out of a reshape,
-        # which stays local under lane sharding (a [:L//2] slice would
-        # cross shard boundaries).
-        pair_modes = meta[:, 7].reshape(L // 2, 2)[:, 0]
-        warm = meta[:, 8:40]
-        coefs = meta[:, 40:72]
-        x = decode_residual_bits_stream(stream, bases, ks, ps, orders,
-                                        pbits, flags, warm, lengths,
-                                        n_parts_max=n_parts_max, sa=sa)
-        out = synthesize_best(x, coefs, shifts, orders, lengths,
-                              platform=platform)
-        out = apply_epilogue(out, wasted, pair_modes)
+        out = step(stream, mb)
         if not chunked:
             return out
         if out_packed:
@@ -386,8 +447,15 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         # (the former rec-dict loop dominated host time on mixed corpora).
         tb_idx = np.searchsorted(_T_BUCKETS_V, bs_v)
         np_max = np.maximum.reduceat(k_sz, lane0_v)  # per-frame, over lanes
+        # Stream mode merges slot classes into one bucket per (T, nch)
+        # shape (the kernel's per-chunk gather width SA is just a static
+        # parameter, so merging to the max costs a little compute but cuts
+        # program count, dispatch round trips, and lane padding -- the
+        # mixed-corpus fragmentation tax). Delta mode ships slot arrays at
+        # width SA, so there the class stays in the key.
+        sa_key = np.zeros_like(sa_v) if mode == "stream" else sa_v
         key_v = (fb_v.astype(np.int64) << 48) | (tb_idx << 40) \
-            | (nch_v << 20) | sa_v
+            | (nch_v << 20) | sa_key
         for kv in np.unique(key_v):
             idx = np.flatnonzero(key_v == kv)
             i0 = idx[0]
@@ -397,6 +465,7 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
                 "out0": out0_v[idx], "nc": nc_v[idx],
                 "mode": bf["mode"][idx].astype(np.int64),
                 "bps": bf["bps"][idx].astype(np.int64),
+                "sa": sa_v[idx],
                 "d0": d_off[lane0_v[idx]], "s0": s_off[lane0_v[idx]],
                 "x0": x_off[lane0_v[idx]], "k0": k_off[lane0_v[idx]],
                 "b0": b_off[lane0_v[idx]], "np_max": np_max[idx],
@@ -405,32 +474,33 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             if fb_v[i0]:
                 smp_groups.setdefault((t_bucket, n_ch), []).append(chunk)
             else:
-                bit_groups.setdefault((t_bucket, n_ch, int(sa_v[i0])),
+                bit_groups.setdefault((t_bucket, n_ch, int(sa_key[i0])),
                                       []).append(chunk)
 
     dispatches, plans = [], []
 
-    for (t_bucket, n_ch, SA), chunks in bit_groups.items():
+    for (t_bucket, n_ch, sa_key), chunks in bit_groups.items():
         g = {f: np.concatenate([c[f] for c in chunks])
              for f in ("si", "bs", "lane0", "out0", "nc", "mode", "bps",
-                       "d0", "s0", "k0", "b0", "np_max")}
+                       "sa", "d0", "s0", "k0", "b0", "np_max")}
         n_frames = len(g["si"])
         n_lanes = n_frames * n_ch
         L, T = bucket_shape(n_lanes, t_bucket, lane_quantum)
         NC = (T + 31) // 32
         T_ext = NC * 32
         P = _p_class(int(g["np_max"].max()))
+        SA = int(g["sa"].max()) if mode == "stream" else sa_key
 
         if mode == "stream":
-            # The per-lane bucket state rides ONE coalesced int32 array
-            # (mb = [meta | bases | ks]); each h2d transfer pays a tunnel
-            # round trip, so three arrays per bucket was measurably slower
-            # to dispatch than one.
-            mb = np.zeros((L, _META_W + NC + P), dtype=np.int32)
-            meta = mb[:, :_META_W]
-            bases = mb[:, _META_W:_META_W + NC]
-            ks = mb[:, _META_W + NC:]
-            slots = slots3 = deltas = None
+            # The per-lane bucket state rides ONE coalesced, int16-packed
+            # int32 array (the _MB_FIXED layout): each h2d transfer pays a
+            # tunnel round trip, so three arrays per bucket was measurably
+            # slower to dispatch than one, and the packing halves the
+            # per-lane metadata bytes.
+            mb = np.zeros((L, _mb_width(NC, P)), dtype=np.int32)
+            mb16 = mb.view(np.int16)  # (L, 2C) little-endian halfwords
+            BD = (NC - 1 + 1) // 2
+            slots = slots3 = deltas = meta = ks = None
         else:
             # The slot buffer is deliberately NOT zeroed: the kernel reads
             # only word indices inside each lane's copied chunks, and
@@ -455,32 +525,54 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
             bs, nc = int(g["bs"][st]), int(g["nc"][st])
             sub0 = int(g["lane0"][st])
             plan.append((si, int(g["out0"][st]), nf, bs, n_ch, lane))
+            subs = bb.bsubs[sub0:sub0 + nl]
             if mode == "stream":
                 b0 = int(g["b0"][st])
-                bases[lane:lane + nl, :nc] = \
-                    bb.bases[b0:b0 + nl * nc].reshape(nl, nc) \
-                    + stream_bit_off[si]
+                bas = bb.bases[b0:b0 + nl * nc].reshape(nl, nc)
+                a = (subs["order"].astype(np.int32)
+                     | (subs["shift"].astype(np.int32) << 6)
+                     | (subs["wasted"].astype(np.int32) << 12)
+                     | (subs["pbits"].astype(np.int32) << 17)
+                     | (subs["flags"].astype(np.int32) << 20))
+                if n_ch == 2:
+                    a |= np.repeat(g["mode"][st:en], 2) \
+                        .astype(np.int32) << 23
+                m = mb[lane:lane + nl]
+                m[:, 0] = a
+                m[:, 1] = subs["ps"]
+                m[:, 2] = bs
+                m[:, 3] = bas[:, 0] + stream_bit_off[si]
+                m[:, 4:36] = subs["warm"]
+                c = subs["coefs"].astype(np.int32)
+                m[:, 36:52] = (c[:, 0::2] & 0xFFFF) | (c[:, 1::2] << 16)
+                if nc > 1:
+                    # A 32-sample chunk spans < 2^13 bits (codes <= 64
+                    # bits each), so the deltas always fit int16.
+                    mb16[lane:lane + nl,
+                         2 * _MB_FIXED:2 * _MB_FIXED + nc - 1] = \
+                        np.diff(bas.astype(np.int64), axis=1)
+                _scatter_ks(mb16[:, 2 * (_MB_FIXED + BD):], lane, nl,
+                            subs["n_parts"], bb.ks, int(g["k0"][st]))
             else:
                 d0, s0 = int(g["d0"][st]), int(g["s0"][st])
                 deltas[lane:lane + nl, :bs] = \
                     bb.deltas[d0:d0 + nl * bs].reshape(nl, bs)
                 slots3[lane:lane + nl, :nc, :] = \
                     bb.slots[s0:s0 + nl * nc * SA].reshape(nl, nc, SA)
-            subs = bb.bsubs[sub0:sub0 + nl]
-            m = meta[lane:lane + nl]
-            m[:, 0] = subs["order"]
-            m[:, 1] = subs["shift"]
-            m[:, 2] = subs["wasted"]
-            m[:, 3] = subs["ps"]
-            m[:, 4] = subs["pbits"]
-            m[:, 5] = subs["flags"]
-            m[:, 6] = bs
-            m[:, 8:40] = subs["warm"]
-            m[:, 40:72] = subs["coefs"]
-            _scatter_ks(ks, lane, nl, subs["n_parts"], bb.ks,
-                        int(g["k0"][st]))
-            if n_ch == 2:
-                meta[lane:lane + nl, 7] = np.repeat(g["mode"][st:en], 2)
+                m = meta[lane:lane + nl]
+                m[:, 0] = subs["order"]
+                m[:, 1] = subs["shift"]
+                m[:, 2] = subs["wasted"]
+                m[:, 3] = subs["ps"]
+                m[:, 4] = subs["pbits"]
+                m[:, 5] = subs["flags"]
+                m[:, 6] = bs
+                m[:, 8:40] = subs["warm"]
+                m[:, 40:72] = subs["coefs"]
+                _scatter_ks(ks, lane, nl, subs["n_parts"], bb.ks,
+                            int(g["k0"][st]))
+                if n_ch == 2:
+                    meta[lane:lane + nl, 7] = np.repeat(g["mode"][st:en], 2)
             lane += nl
 
         # Under a mesh, per-lane arrays go to the jitted program as numpy:
@@ -490,7 +582,7 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         # round-2 dryrun failure mode.
         _put = jnp.asarray if mesh is None else (lambda a: a)
         if mode == "stream":
-            prog = _stream_program(P, SA, out_packed, mesh=mesh)
+            prog = _stream_program(P, SA, NC, out_packed, mesh=mesh)
             args = (stream_dev, _put(mb))
             upload_bytes += mb.nbytes
         else:
