@@ -12,11 +12,12 @@ all lanes ride the 128-wide vector dimension:
   dot products, the (hi, lo) recombination and the arithmetic shift are
   the same 32-bit ops as the XLA path.
 
-Measured on a real chip the XLA `lax.scan` path and this kernel are both
-far from being the pipeline bottleneck (sub-millisecond per ~7M-sample
-bucket); the XLA path stays the default. This kernel exists as the
-hand-scheduled reference point and for shapes where scan overhead ever
-matters. ``interpret=True`` (automatic off-TPU) makes it testable on CPU.
+This kernel is the PRODUCTION backend on TPU (``synthesize_best``
+dispatches here; CLAXON_TPU_NO_PALLAS=1 forces the XLA scan). Measured on
+the real chip it beats the XLA ``lax.scan`` path 1.8-5.0x across the
+bench bucket shapes (tools/synth_backend_bench.py; table in
+docs/performance.md). ``interpret=True`` (automatic off-TPU) makes it
+testable on CPU.
 """
 
 from functools import partial

@@ -87,8 +87,9 @@ def synthesize(x, coefs, shifts, orders, lengths=None, unroll=4):
 
 def synthesize_best(x, coefs, shifts, orders, lengths=None, platform=None):
     """Synthesize with the fastest backend for the target platform:
-    the hand-scheduled Pallas kernel on TPU (~1.7x the XLA scan, measured
-    on v5e; see ops/pallas_synth.py), the XLA scan elsewhere. Both are
+    the hand-scheduled Pallas kernel on TPU (1.8-5.0x the XLA scan across
+    the bench bucket shapes, measured on the real chip by
+    tools/synth_backend_bench.py), the XLA scan elsewhere. Both are
     bit-exact; CLAXON_TPU_NO_PALLAS=1 forces the XLA path.
 
     ``platform`` overrides the default-device inference -- mesh-sharded
