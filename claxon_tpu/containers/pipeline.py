@@ -33,8 +33,26 @@ def _extract_section(payload, use_native, max_frames=None):
 
 #: merged container payloads past this use the FrameDesc path -- chunk
 #: bit bases are int32 positions into the stream upload (see pipeline.py's
-#: matching gate on whole-stream batches).
+#: matching gate on whole-stream batches). CLAXON_TPU_BITS_PAYLOAD_CAP
+#: overrides (tests exercise the boundary without a 128 MiB payload).
 _BITS_PAYLOAD_CAP = 1 << 27
+
+
+def _payload_cap():
+    import os
+
+    v = os.environ.get("CLAXON_TPU_BITS_PAYLOAD_CAP")
+    return int(v) if v else _BITS_PAYLOAD_CAP
+
+
+def _cap_fallback(n_bytes):
+    """Describe the silent-looking path switch once per process."""
+    import warnings
+
+    warnings.warn(
+        f"container payload of {n_bytes} bytes exceeds the bits-pipeline "
+        f"cap ({_payload_cap()}); decoding via the FrameDesc path "
+        "(slower uplink, same result)", RuntimeWarning, stacklevel=3)
 
 
 def _bits_native(use_native):
@@ -86,10 +104,12 @@ def decode_ogg_stream(data, use_native=True, verify_crc=True):
     # plain frame section.
     payload = b"".join(p for p in audio_packets if p)
     native = _bits_native(use_native)
-    if native is not None and len(payload) < _BITS_PAYLOAD_CAP:
-        bb = native.extract_frames_bits(payload, emit_slots=False,
-                                        defer_crc=_defer_crc())
-        return _decode_frames_bits(streaminfo, [bb], native)
+    if native is not None:
+        if len(payload) < _payload_cap():
+            bb = native.extract_frames_bits(payload, emit_slots=False,
+                                            defer_crc=_defer_crc())
+            return _decode_frames_bits(streaminfo, [bb], native)
+        _cap_fallback(len(payload))
     return _decode_frames(streaminfo,
                           _extract_section(payload, use_native))
 
@@ -107,7 +127,9 @@ def decode_mp4_stream(data, use_native=True):
                             zip(track.chunk_offsets,
                                 track.samples_per_chunk) if n)
     native = _bits_native(use_native)
-    use_bits = native is not None and len(data) < _BITS_PAYLOAD_CAP
+    use_bits = native is not None and len(data) < _payload_cap()
+    if native is not None and not use_bits:
+        _cap_fallback(len(data))
     frames, batches = [], []
 
     def _crc_before_error():

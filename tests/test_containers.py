@@ -338,3 +338,51 @@ def test_mp4_deferred_crc_precedes_later_chunk_error():
     with pytest.raises(Error) as ei:
         decode_mp4_stream(bad)
     assert "frame CRC mismatch" in str(ei.value)
+
+
+@pytest.mark.parametrize("fmt", ["ogg", "mp4"])
+def test_payload_cap_falls_back_with_warning(monkeypatch, fmt):
+    """Payloads at/over the bits-pipeline cap must switch to the FrameDesc
+    path WITH a RuntimeWarning describing the switch, and stay bit-exact.
+    The cap is shrunk via CLAXON_TPU_BITS_PAYLOAD_CAP so the boundary is
+    exercised without a 128 MiB allocation (VERDICT round-2 item 6)."""
+    from claxon_tpu import native
+    from claxon_tpu.containers import decode_mp4_stream, decode_ogg_stream
+    import claxon_tpu.containers.pipeline as cp
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    flac = make_flac()
+    want = reference_pcm(flac)
+    monkeypatch.setenv("CLAXON_TPU_BITS_PAYLOAD_CAP", "1024")
+    bits_calls = []
+    monkeypatch.setattr(cp, "_decode_frames_bits",
+                        lambda *a: bits_calls.append(1))
+    with pytest.warns(RuntimeWarning, match="bits-pipeline cap"):
+        if fmt == "ogg":
+            dec = decode_ogg_stream(mux_ogg_flac(flac))
+        else:
+            dec = decode_mp4_stream(mux_mp4_flac(flac, frames_per_chunk=2))
+    assert not bits_calls
+    assert np.array_equal(dec.pcm, want)
+
+
+def test_payload_cap_boundary_keeps_bits_path(monkeypatch):
+    """One byte under the (overridden) cap still rides the bits path."""
+    from claxon_tpu import native
+    from claxon_tpu.containers import decode_ogg_stream
+    import claxon_tpu.containers.pipeline as cp
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    flac = make_flac()
+    want = reference_pcm(flac)
+    ogg = mux_ogg_flac(flac)
+    monkeypatch.setenv("CLAXON_TPU_BITS_PAYLOAD_CAP", str(len(ogg) + 1))
+    calls = []
+    orig = cp._decode_frames_bits
+    monkeypatch.setattr(cp, "_decode_frames_bits",
+                        lambda *a: calls.append(1) or orig(*a))
+    dec = decode_ogg_stream(ogg)
+    assert calls
+    assert np.array_equal(dec.pcm, want)
