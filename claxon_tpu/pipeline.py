@@ -707,21 +707,30 @@ def extract_streams_bits(datas, native):
 
 
 def decode_streams_device(datas, use_native=True,
-                          lane_quantum=_L_QUANTUM) -> DeviceDecoded:
+                          lane_quantum=_L_QUANTUM,
+                          segmentation=None) -> DeviceDecoded:
     """Decode many FLAC streams into device-resident PCM buckets -- the
     zero-host-round-trip path for feeding TPU consumers directly.
 
     With the native core available this takes the bits path (the entropy
     decode runs on-chip; see pipeline_bits and extract_streams_bits for
     the mode/CRC-placement knobs). CLAXON_TPU_NO_BITS=1 forces the legacy
-    sample-shipping path. All paths are bit-exact.
+    sample-shipping path. ``segmentation="device"`` (or
+    CLAXON_TPU_SEGMENTATION=device) also moves frame segmentation and
+    subframe demux onto the chip (pipeline_seg; the host stops walking
+    payload bytes entirely). All paths are bit-exact.
     """
     import os
 
+    if segmentation is None:
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
     if use_native:
         native = _native_mod()
         if native is not None:
             if not os.environ.get("CLAXON_TPU_NO_BITS"):
+                if segmentation == "device":
+                    from .pipeline_seg import decode_streams_segmented
+                    return decode_streams_segmented(datas, lane_quantum)
                 from .pipeline_bits import decode_raw_bits_device
                 braws, mode = extract_streams_bits(datas, native)
                 return decode_raw_bits_device(braws, lane_quantum, mode)

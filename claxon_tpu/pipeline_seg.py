@@ -27,9 +27,9 @@ header design that makes speculation sound is `src/frame.rs:291-302`
 (sync-mimic codes forbidden) -- see ops/segment.py.
 """
 
-import numpy as np
+from functools import lru_cache
 
-from .error import fmt_err
+import numpy as np
 
 __all__ = ["decode_streams_segmented", "host_header_fields"]
 
@@ -109,5 +109,341 @@ def host_header_fields(buf, positions):
     return {"ok": ok, "block_size": np.where(ok, block_size, 0),
             "nch": nch, "mode": mode, "bps_code": bps_code, "hlen": hlen,
             "time_raw": val, "variable": variable}
+
+
+def _jnp():
+    import jax.numpy as jnp
+    return jnp
+
+
+#: chunk gather-width classes (mirrors kSClasses in claxon_demux.cpp) so
+#: decode programs compile per class, not per corpus.
+_SA_CLASSES = (4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def _sa_class(s):
+    for c in _SA_CLASSES:
+        if s <= c:
+            return c + 1
+    return _SA_CLASSES[-1] + 1
+
+
+#: walk lane-count quantum (frames per walk dispatch are padded to this).
+_WALK_QUANTUM = 64
+
+_WALK_KEYS = ("order", "shift", "wasted", "ps", "pbits", "flags", "warm",
+              "coefs", "ks", "bases")
+
+
+@lru_cache(maxsize=None)
+def _walk_program(T, nch, F):
+    """Jitted walk + per-frame fetch summary: returns the walk output
+    arrays (device-resident, consumed by the decode program) plus ONE
+    small (F, 4) array [ok, end_byte, n_parts_max, sa_max] for host
+    planning (a single d2h fetch per walk group)."""
+    import jax
+
+    from .ops.demux import walk_frames
+
+    def prog(stream, start_bits, bs, modes, bps0):
+        out, end_bits, ok = walk_frames(stream, start_bits, bs, modes,
+                                        bps0, T=T, nch=nch)
+        jnp = _jnp()
+        np_f = out["n_parts"].reshape(F, nch).max(axis=1)
+        sa_f = out["sa_words"].reshape(F, nch).max(axis=1)
+        summary = jnp.stack(
+            [ok.astype(jnp.int32), end_bits >> 3, np_f, sa_f], axis=1)
+        return tuple(out[k] for k in _WALK_KEYS), summary
+
+    return jax.jit(prog)
+
+
+@lru_cache(maxsize=None)
+def _seg_decode_program(P, SA, out_packed):
+    """The segmented-path decode program: gather the chained lanes from
+    the walk outputs, then the production entropy decode -> synthesis ->
+    epilogue -> transfer packing. All big inputs are already on device
+    (walk outputs + the replicated stream); only the tiny (L, 3) plan
+    array [row, length, mode] crosses the link."""
+    import jax
+
+    from .ops.entropy import decode_residual_bits_stream
+    from .ops.epilogue import apply_epilogue, pack_int16_pairs
+    from .ops.predict import synthesize_best
+    from .pipeline import _split_lanes, _FETCH_CHUNKS
+
+    def prog(stream, order, shift, wasted, ps, pbits, flags, warm, coefs,
+             ks, bases, plan):
+        jnp = _jnp()
+        rows = plan[:, 0]
+        lengths = plan[:, 1]
+        L = rows.shape[0]
+        pair_modes = plan[:, 2].reshape(L // 2, 2)[:, 0]
+        g = lambda a: jnp.take(a, rows, axis=0)
+        x = decode_residual_bits_stream(
+            stream, g(bases), g(ks)[:, :P], g(ps), g(order), g(pbits),
+            g(flags), g(warm), lengths, n_parts_max=P, sa=SA)
+        out = synthesize_best(x, g(coefs), g(shift), g(order), lengths)
+        out = apply_epilogue(out, g(wasted), pair_modes)
+        if out_packed:
+            packed, flag = pack_int16_pairs(out)
+            return out, flag, _split_lanes(packed, _FETCH_CHUNKS)
+        return out, _split_lanes(out, _FETCH_CHUNKS)
+
+    return jax.jit(prog)
+
+
+def decode_streams_segmented(datas, lane_quantum=None):
+    """Decode FLAC streams with on-device segmentation + demux.
+
+    Drop-in sibling of ``pipeline.decode_streams_device`` (returns a
+    ``DeviceDecoded``); the host never walks payload bytes. When any
+    stream cannot ride the device-demux path -- a walk-rejected frame
+    (escaped partitions, > 64 partitions, oversized codes...), a chain
+    break, > 2 channels, an oversized batch -- the WHOLE batch falls back
+    to the host-walk bits pipeline, which reproduces the reference's
+    exact error behavior. (Fallbacks are per-batch for simplicity; the
+    host path is itself bit-exact, so this only affects speed.)
+    """
+    from . import native
+    from .native.binding import _read_metadata
+    from .ops.segment import find_frame_headers
+    from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
+                           _LITTLE_ENDIAN, _L_QUANTUM, bucket_shape,
+                           _T_BUCKETS, extract_streams_bits)
+    from .pipeline_bits import (_STREAM_QUANTUM, _crc_program, _p_class,
+                                decode_raw_bits_device)
+
+    jnp = _jnp()
+    if lane_quantum is None:
+        lane_quantum = _L_QUANTUM
+
+    def _fallback():
+        braws, mode = extract_streams_bits(datas, native)
+        return decode_raw_bits_device(braws, lane_quantum, mode)
+
+    if not native.available():
+        from .pipeline import decode_streams_device
+        return decode_streams_device(datas, use_native=False,
+                                     lane_quantum=lane_quantum)
+    if sum(len(d) for d in datas) >= (1 << 27):
+        return _fallback()  # int32 bit positions cap, like stream mode
+
+    # ---- host metadata parse (headers only; no payload bytes touched).
+    sis, payloads = [], []
+    for d in datas:
+        si, pos = _read_metadata(d)
+        sis.append(si)
+        payloads.append(np.frombuffer(d, np.uint8)[pos:])
+
+    # ---- one shared word-aligned upload (the pipeline_bits layout).
+    sizes = [p.nbytes for p in payloads]
+    wcs = [(s + 3) // 4 for s in sizes]
+    total_w = sum(wcs)
+    total_q = -(-max(total_w, 1) // _STREAM_QUANTUM) * _STREAM_QUANTUM
+    buf = np.zeros(total_q * 4, dtype=np.uint8)
+    byte_off = []
+    off = 0
+    for p, s, wc in zip(payloads, sizes, wcs):
+        buf[off:off + s] = p
+        byte_off.append(off)
+        off += wc * 4
+    stream = buf.view(">i4").astype(np.int32)
+    stream_dev = jnp.asarray(stream)
+    upload_bytes = stream_dev.nbytes
+
+    # ---- device segmentation: sync scan + header CRC-8 validation.
+    # Sync-pattern hits are rare (~2/64Ki random byte pairs) and real
+    # frames span KBs, so a bytes/512 estimate overshoots comfortably;
+    # the count check below grows capacity in the rare overflow.
+    cap = 256
+    est = total_w * 4 // 512 + 1
+    while cap < est and cap < (1 << 22):
+        cap *= 2
+    while True:
+        cpos, cvalid, count = find_frame_headers(stream_dev, total_q * 4,
+                                                 cap)
+        count = int(count)
+        if count <= cap:
+            break
+        while cap < count:
+            cap *= 2
+    cpos = np.asarray(cpos)[:count]
+    cvalid = np.asarray(cvalid)[:count]
+
+    # ---- host header-field decode (~16 bytes per candidate).
+    ends = np.asarray(byte_off, np.int64) + np.asarray(sizes, np.int64)
+    c_si = np.searchsorted(ends, cpos, side="right")
+    fields = host_header_fields(buf, cpos)
+    si_bps = np.asarray([si.bits_per_sample for si in sis], np.int64)
+    si_nch = np.asarray([si.channels for si in sis], np.int64)
+    bps = np.where(fields["bps_code"] == 0, si_bps[c_si],
+                   _BPS_TABLE[np.minimum(fields["bps_code"], 7)])
+    walkable = (cvalid & fields["ok"] & (fields["nch"] <= 2)
+                & (fields["nch"] == si_nch[c_si])
+                & (fields["block_size"] >= 1)
+                & (fields["block_size"] <= _T_BUCKETS[-1]))
+
+    # ---- walk groups: (T bucket, nch) over ALL plausible candidates
+    # (false positives are walked too -- they lose the chain race below).
+    tb = np.array([bucket_shape(0, int(b))[1] if b >= 1 else 0
+                   for b in fields["block_size"]], np.int64)
+    groups = {}
+    for ci in np.flatnonzero(walkable):
+        groups.setdefault((int(tb[ci]), int(fields["nch"][ci])),
+                          []).append(int(ci))
+
+    walk_out, walk_meta, walk_slot = {}, {}, {}
+    for (T, nch), cis in groups.items():
+        F = -(-len(cis) // _WALK_QUANTUM) * _WALK_QUANTUM
+        start_bits = np.zeros(F, np.int32)
+        w_bs = np.zeros(F, np.int32)
+        w_modes = np.zeros(F, np.int32)
+        w_bps = np.ones(F, np.int32)
+        idx = np.asarray(cis)
+        start_bits[:len(cis)] = (cpos[idx] + fields["hlen"][idx]) * 8
+        w_bs[:len(cis)] = fields["block_size"][idx]
+        w_modes[:len(cis)] = fields["mode"][idx]
+        w_bps[:len(cis)] = bps[idx]
+        outs, summary = _walk_program(T, nch, F)(
+            stream_dev, jnp.asarray(start_bits), jnp.asarray(w_bs),
+            jnp.asarray(w_modes), jnp.asarray(w_bps))
+        upload_bytes += 4 * F * 4
+        walk_out[(T, nch)] = outs
+        walk_meta[(T, nch)] = np.asarray(summary)
+        for wi, ci in enumerate(cis):
+            walk_slot[ci] = ((T, nch), wi)
+
+    # ---- chain per stream: ends -> next starts; must tile the payload.
+    pos_map = {(int(c_si[i]), int(cpos[i]) - byte_off[int(c_si[i])]): i
+               for i in range(count)}
+    chains = []
+    for si_idx, size in enumerate(sizes):
+        exp = 0
+        chain = []
+        good = True
+        while exp < size:
+            ci = pos_map.get((si_idx, exp))
+            if ci is None or not walkable[ci]:
+                good = False
+                break
+            (tn, wi) = walk_slot[ci]
+            m = walk_meta[tn][wi]
+            if not m[0]:
+                good = False
+                break
+            chain.append(ci)
+            nxt = int(m[1]) + 2 - byte_off[si_idx]
+            if nxt <= exp:
+                good = False
+                break
+            exp = nxt
+        if not good or exp != size:
+            return _fallback()
+        chains.append(chain)
+
+    # ---- results + output offsets (chain order IS stream order).
+    results, pcms = [], []
+    out0_of = {}
+    crc_starts, crc_ends = [], []
+    for si_idx, (si, chain) in enumerate(zip(sis, chains)):
+        bs_list = [int(fields["block_size"][ci]) for ci in chain]
+        total = int(np.sum(bs_list)) if chain else 0
+        pcm = np.zeros((total, si.channels), dtype=np.int32)
+        pcms.append(pcm)
+        times = [int(fields["time_raw"][ci]) if fields["variable"][ci]
+                 else int(fields["time_raw"][ci]) * bs
+                 for ci, bs in zip(chain, bs_list)]
+        results.append(DecodedStream(streaminfo=si, pcm=pcm,
+                                     frame_times=times,
+                                     frame_sizes=bs_list))
+        o = 0
+        for ci, bs in zip(chain, bs_list):
+            out0_of[ci] = o
+            o += bs
+        if chain:
+            idx = np.asarray(chain)
+            crc_starts.append(cpos[idx])
+            ce = np.asarray([int(walk_meta[walk_slot[ci][0]]
+                                 [walk_slot[ci][1]][1]) + 2
+                             for ci in chain], np.int64)
+            crc_ends.append(ce)
+
+    # ---- decode dispatches: (walk group, P class) buckets.
+    dispatches, plans = [], []
+    for (T, nch), cis in groups.items():
+        chained = [ci for ci in cis if ci in out0_of]
+        if not chained:
+            continue
+        meta = walk_meta[(T, nch)]
+        by_p = {}
+        for ci in chained:
+            wi = walk_slot[ci][1]
+            by_p.setdefault(_p_class(max(int(meta[wi][2]), 1)),
+                            []).append(ci)
+        for P, p_cis in by_p.items():
+            # Stream-then-position order makes runs contiguous.
+            p_cis.sort(key=lambda ci: (int(c_si[ci]), out0_of[ci]))
+            n_lanes = len(p_cis) * nch
+            L, Tb = bucket_shape(n_lanes, T, lane_quantum)
+            SA = _sa_class(max(int(meta[walk_slot[ci][1]][3])
+                               for ci in p_cis))
+            plan_arr = np.zeros((L, 3), np.int32)
+            plan = []
+            run = None
+            for li, ci in enumerate(p_cis):
+                wi = walk_slot[ci][1]
+                lane0 = li * nch
+                plan_arr[lane0:lane0 + nch, 0] = \
+                    np.arange(wi * nch, wi * nch + nch)
+                plan_arr[lane0:lane0 + nch, 1] = fields["block_size"][ci]
+                plan_arr[lane0:lane0 + nch, 2] = fields["mode"][ci]
+                si_idx = int(c_si[ci])
+                bs = int(fields["block_size"][ci])
+                if run is not None and run[0] == si_idx \
+                        and run[1] + run[2] * run[3] == out0_of[ci] \
+                        and run[3] == bs:
+                    run[2] += 1
+                else:
+                    if run is not None:
+                        plan.append(tuple(run[:2]) + (run[2], run[3],
+                                                      nch, run[4]))
+                    run = [si_idx, out0_of[ci], 1, bs, lane0]
+            if run is not None:
+                plan.append(tuple(run[:2]) + (run[2], run[3], nch,
+                                              run[4]))
+            out_packed = (_LITTLE_ENDIAN and Tb % 2 == 0
+                          and int(max(bps[ci] for ci in p_cis)) <= 16)
+            prog = _seg_decode_program(P, SA, out_packed)
+            args = walk_out[(T, nch)] + (jnp.asarray(plan_arr),)
+            upload_bytes += plan_arr.nbytes
+            if out_packed:
+                out, flag, chunks = prog(stream_dev, *args)
+                dispatches.append(_BucketDispatch([], nch, out, chunks,
+                                                  True, flag))
+            else:
+                out, chunks = prog(stream_dev, *args)
+                dispatches.append(_BucketDispatch([], nch, out, chunks,
+                                                  False))
+            plans.append(plan)
+
+    dd = DeviceDecoded(results, [], [], dispatches)
+    dd._raw_plans = (plans, pcms)
+
+    if crc_starts:
+        starts = np.concatenate(crc_starts).astype(np.int32)
+        ends_a = np.concatenate(crc_ends).astype(np.int32)
+        n = len(starts)
+        fq = 8
+        while fq < n:
+            fq *= 2
+        se = np.stack([np.pad(starts, (0, fq - n)),
+                       np.pad(ends_a, (0, fq - n))])
+        vals = _crc_program(None)(stream_dev, jnp.asarray(se))
+        dd.crc_check = (vals, n)
+        upload_bytes += se.nbytes
+
+    dd.upload_bytes = upload_bytes
+    return dd
 
 

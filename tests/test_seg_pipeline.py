@@ -1,0 +1,165 @@
+"""Segmented (device-demux) decode path vs the host-walk path.
+
+Every stream must decode bit-identically through both; streams the
+device walk cannot represent must fall back transparently; adversarial
+payloads (embedded header mimics, corrupt CRCs, truncation) must never
+corrupt output or change error behavior.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from claxon_tpu import native
+from claxon_tpu.error import Error
+from claxon_tpu.testing import encode_flac, synth_music
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native core unavailable")
+
+
+def _seg(datas):
+    from claxon_tpu.pipeline_seg import decode_streams_segmented
+    return decode_streams_segmented(datas)
+
+
+def _host(datas):
+    from claxon_tpu.pipeline import decode_streams_device
+    return decode_streams_device(datas)
+
+
+def _assert_equal(datas):
+    want = _host(datas).to_host()
+    dd = _seg(datas)
+    got = dd.to_host()
+    for w, g in zip(want, got):
+        assert np.array_equal(w.pcm, g.pcm)
+        assert w.frame_times == g.frame_times
+        assert w.frame_sizes == g.frame_sizes
+    return dd
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(block_size=1024, max_lpc_order=12, partition_order=4),
+    dict(stereo="independent"),
+    dict(stereo="left_side"),
+    dict(stereo="right_side"),
+    dict(force_subframe="verbatim"),
+    dict(force_subframe="fixed"),
+    dict(bps=8, block_size=192),
+    dict(bps=24, block_size=512),
+    dict(variable_blocking=True),
+    dict(rice2=True, partition_order=3),
+])
+def test_segmented_matches_host(kw):
+    bps = kw.pop("bps", 16)
+    pcm = synth_music(7000, channels=2, bps=bps, seed=3)
+    bs = kw.pop("block_size", 4096)
+    _assert_equal([encode_flac(pcm, 44100, bps, block_size=bs, **kw)])
+
+
+def test_segmented_mixed_batch():
+    datas = []
+    for seed, (bs, ch) in enumerate([(4096, 2), (1024, 1), (576, 2),
+                                     (4096, 2), (2048, 1)]):
+        pcm = synth_music(5000 + 619 * seed, channels=ch, bps=16,
+                          seed=seed)
+        datas.append(encode_flac(pcm, 44100, 16, block_size=bs))
+    dd = _assert_equal(datas)
+    # The batch must actually have ridden the segmented path (several
+    # decode dispatches, walk-planned).
+    assert dd.dispatches
+
+
+def test_segmented_constant_frames():
+    pcm = np.full((5000, 2), 1234, np.int32)
+    _assert_equal([encode_flac(pcm, 44100, 16, block_size=1024,
+                               force_subframe="constant")])
+
+
+def test_segmented_wasted_bits():
+    pcm = (synth_music(6000, channels=2, bps=16, seed=8) & ~7)
+    _assert_equal([encode_flac(pcm, 44100, 16, block_size=1024)])
+
+
+def test_segmented_falls_back_on_many_partitions(monkeypatch):
+    """Partition order 7 (128 partitions) exceeds the device cap; the
+    batch must fall back to the host walk and stay bit-exact."""
+    import claxon_tpu.pipeline_seg as ps
+
+    pcm = synth_music(9000, channels=2, bps=16, seed=4)
+    flac = encode_flac(pcm, 44100, 16, block_size=4096, partition_order=7)
+    calls = []
+    orig = ps._seg_decode_program
+    monkeypatch.setattr(ps, "_seg_decode_program",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    _assert_equal([flac])
+
+
+def test_segmented_header_mimic_in_verbatim_payload():
+    """A verbatim subframe whose SAMPLES spell a fully valid-looking
+    frame header (sync + plausible fields + correct CRC-8) must not
+    confuse the segmented path: the mimic loses the chain race."""
+    from claxon_tpu.crc import CRC8_TABLE
+
+    # Build a fake header byte string: sync FFF8, bs/sr=0x99
+    # (bs_code 9 -> 512, sr 44.1k), chan/bps=0x18 (2ch indep, 16 bps),
+    # frame number 0, then its valid CRC-8.
+    hdr = bytearray([0xFF, 0xF8, 0x99, 0x18, 0x00])
+    crc = 0
+    for b in hdr:
+        crc = CRC8_TABLE[crc ^ b]
+    hdr.append(crc)
+    # Embed as big-endian 16-bit sample pairs in channel 0 (with
+    # independent channels, a verbatim ch0's samples sit byte-aligned:
+    # the frame header is byte-aligned and the subframe header is
+    # exactly 8 bits).
+    vals = np.frombuffer(bytes(hdr), ">i2").astype(np.int32)
+    pcm = synth_music(3000, channels=2, bps=16, seed=6)
+    pcm[100:100 + len(vals), 0] = vals
+    flac = encode_flac(pcm, 44100, 16, block_size=1024,
+                       force_subframe="verbatim", stereo="independent")
+    # The mimic must really be in the payload for the test to bite.
+    assert bytes(hdr) in flac
+    _assert_equal([flac])
+
+
+def test_segmented_crc_mismatch_raises():
+    pcm = synth_music(5000, channels=2, bps=16, seed=7)
+    flac = bytearray(encode_flac(pcm, 44100, 16, block_size=1024))
+    # Corrupt the last byte (a CRC-16 byte of the final frame).
+    flac[-1] ^= 0xFF
+    dd = _seg([bytes(flac)])
+    with pytest.raises(Error) as ei:
+        dd.to_host()
+    assert "frame CRC mismatch" in str(ei.value)
+
+
+def test_segmented_truncated_stream_matches_host_error():
+    pcm = synth_music(5000, channels=2, bps=16, seed=7)
+    flac = encode_flac(pcm, 44100, 16, block_size=1024)
+    bad = flac[:len(flac) - 7]
+    with pytest.raises(Error) as e_host:
+        _host([bad]).to_host()
+    with pytest.raises(Error) as e_seg:
+        _seg([bad]).to_host()
+    assert str(e_seg.value) == str(e_host.value)
+
+
+def test_segmented_empty_stream():
+    pcm = synth_music(1, channels=1, bps=16, seed=1)[:0]
+    flac = encode_flac(pcm.reshape(0, 1), 44100, 16)
+    dd = _seg([flac])
+    out = dd.to_host()
+    assert out[0].pcm.shape[0] == 0
+
+
+def test_segmented_on_reference_samples():
+    datas = [open(f"/root/reference/testsamples/{n}", "rb").read()
+             for n in ("pop.flac", "short.flac", "wasted_bits.flac")]
+    _assert_equal(datas)
