@@ -243,6 +243,32 @@ def main():
         pairs, total_samples, TO_DEVICE_SECONDS / 2)
     pairs = None
 
+    # ---- Phase 1c: host-CPU cost per decoded sample, host walk vs the
+    # segmented (device-demux) path. time.process_time() counts CPU only
+    # -- device waits don't bill -- so this isolates the host's share of
+    # each path: the C++ boundary walk + packing vs header-field decode +
+    # chain/bucket planning (VERDICT r2 item 3's >= 5x criterion).
+    from claxon_tpu.pipeline_seg import decode_streams_segmented
+
+    _seg_warm = decode_streams_segmented(datas)
+    # The metric is only meaningful if the device-demux path actually
+    # engaged (a chain break silently falls back to the host walk).
+    seg_engaged = getattr(_seg_warm, "_raw_plans", None) is not None
+    _seg_warm.sync()  # compile warm-up
+
+    def host_cpu_ns(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.process_time()
+            dd = fn(datas)
+            dt = time.process_time() - t0
+            dd.sync()
+            best = min(best, dt)
+        return best * 1e9 / total_samples
+
+    hostwalk_ns = host_cpu_ns(decode_streams_device)
+    seg_ns = host_cpu_ns(decode_streams_segmented)
+
     # Link budget: sustained h2d rate (dependent-fetch barrier -- the only
     # honest one on this transport, see tools/link_probe.py) and the upload
     # bytes per decoded sample. Their quotient is the hard physical ceiling
@@ -357,6 +383,10 @@ def main():
         "to_host_window_rates_msamples_s": [round(r / 1e6, 3)
                                             for r in rates],
         "host_scalar_msamples_s": round(scalar_msamples_s, 3),
+        "host_cpu_ns_per_sample_hostwalk": round(hostwalk_ns, 2),
+        "host_cpu_ns_per_sample_segmented": round(seg_ns, 2),
+        "host_demux_speedup": round(hostwalk_ns / max(seg_ns, 1e-9), 2),
+        "segmented_engaged": seg_engaged,
         "synthesis_backend": backend,
         "entropy_decode": "device" if not os.environ.get(
             "CLAXON_TPU_NO_BITS") else "host",

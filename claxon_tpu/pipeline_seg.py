@@ -211,8 +211,8 @@ def decode_streams_segmented(datas, lane_quantum=None):
     from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
                            _LITTLE_ENDIAN, _L_QUANTUM, bucket_shape,
                            _T_BUCKETS, extract_streams_bits)
-    from .pipeline_bits import (_STREAM_QUANTUM, _crc_program, _p_class,
-                                decode_raw_bits_device)
+    from .pipeline_bits import (_STREAM_QUANTUM, _crc_program,
+                                _P_CLASSES, decode_raw_bits_device)
 
     jnp = _jnp()
     if lane_quantum is None:
@@ -293,7 +293,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
         groups.setdefault((int(tb[ci]), int(fields["nch"][ci])),
                           []).append(int(ci))
 
-    walk_out, walk_meta, walk_slot = {}, {}, {}
+    walk_out, walk_meta = {}, {}
     for (T, nch), cis in groups.items():
         F = -(-len(cis) // _WALK_QUANTUM) * _WALK_QUANTUM
         start_bits = np.zeros(F, np.int32)
@@ -311,110 +311,119 @@ def decode_streams_segmented(datas, lane_quantum=None):
         upload_bytes += 4 * F * 4
         walk_out[(T, nch)] = outs
         walk_meta[(T, nch)] = np.asarray(summary)
-        for wi, ci in enumerate(cis):
-            walk_slot[ci] = ((T, nch), wi)
+
+    # ---- per-candidate walk summaries, scattered back to global arrays
+    # (all planning below is vectorized numpy; no per-frame Python).
+    walk_ok = np.zeros(count, bool)
+    end_byte = np.zeros(count, np.int64)
+    np_max_c = np.zeros(count, np.int64)
+    sa_max_c = np.zeros(count, np.int64)
+    wi_of = np.zeros(count, np.int64)
+    for key, cis in groups.items():
+        m = walk_meta[key]
+        idx = np.asarray(cis)
+        walk_ok[idx] = m[:len(cis), 0].astype(bool)
+        end_byte[idx] = m[:len(cis), 1]
+        np_max_c[idx] = m[:len(cis), 2]
+        sa_max_c[idx] = m[:len(cis), 3]
+        wi_of[idx] = np.arange(len(cis))
 
     # ---- chain per stream: ends -> next starts; must tile the payload.
-    pos_map = {(int(c_si[i]), int(cpos[i]) - byte_off[int(c_si[i])]): i
-               for i in range(count)}
+    # Fast path: no false positives -- every candidate links to the next.
+    ok_c = walkable & walk_ok
+    byte_off_a = np.asarray(byte_off, np.int64)
     chains = []
     for si_idx, size in enumerate(sizes):
-        exp = 0
-        chain = []
-        good = True
+        idx = np.flatnonzero(c_si == si_idx)
+        if idx.size == 0:
+            if size != 0:
+                return _fallback()
+            chains.append(idx)
+            continue
+        local = cpos[idx] - byte_off_a[si_idx]
+        nxt = end_byte[idx] - byte_off_a[si_idx] + 2
+        if ok_c[idx].all() and local[0] == 0 and nxt[-1] == size \
+                and np.array_equal(nxt[:-1], local[1:]):
+            chains.append(idx)
+            continue
+        # Slow path (a payload byte mimicked a header): walk the chain.
+        pos_map = {int(p): int(ci) for p, ci in zip(local, idx)}
+        exp, chain, good = 0, [], True
         while exp < size:
-            ci = pos_map.get((si_idx, exp))
-            if ci is None or not walkable[ci]:
-                good = False
-                break
-            (tn, wi) = walk_slot[ci]
-            m = walk_meta[tn][wi]
-            if not m[0]:
+            ci = pos_map.get(exp)
+            if ci is None or not ok_c[ci]:
                 good = False
                 break
             chain.append(ci)
-            nxt = int(m[1]) + 2 - byte_off[si_idx]
-            if nxt <= exp:
+            nxt1 = int(end_byte[ci]) + 2 - int(byte_off_a[si_idx])
+            if nxt1 <= exp:
                 good = False
                 break
-            exp = nxt
+            exp = nxt1
         if not good or exp != size:
             return _fallback()
-        chains.append(chain)
+        chains.append(np.asarray(chain, np.int64))
 
     # ---- results + output offsets (chain order IS stream order).
     results, pcms = [], []
-    out0_of = {}
+    out0_c = np.zeros(count, np.int64)
+    chained_mask = np.zeros(count, bool)
     crc_starts, crc_ends = [], []
     for si_idx, (si, chain) in enumerate(zip(sis, chains)):
-        bs_list = [int(fields["block_size"][ci]) for ci in chain]
-        total = int(np.sum(bs_list)) if chain else 0
+        bs_v = fields["block_size"][chain]
+        total = int(bs_v.sum()) if chain.size else 0
         pcm = np.zeros((total, si.channels), dtype=np.int32)
         pcms.append(pcm)
-        times = [int(fields["time_raw"][ci]) if fields["variable"][ci]
-                 else int(fields["time_raw"][ci]) * bs
-                 for ci, bs in zip(chain, bs_list)]
+        t_raw = fields["time_raw"][chain]
+        times = np.where(fields["variable"][chain] != 0, t_raw,
+                         t_raw * bs_v)
         results.append(DecodedStream(streaminfo=si, pcm=pcm,
-                                     frame_times=times,
-                                     frame_sizes=bs_list))
-        o = 0
-        for ci, bs in zip(chain, bs_list):
-            out0_of[ci] = o
-            o += bs
-        if chain:
-            idx = np.asarray(chain)
-            crc_starts.append(cpos[idx])
-            ce = np.asarray([int(walk_meta[walk_slot[ci][0]]
-                                 [walk_slot[ci][1]][1]) + 2
-                             for ci in chain], np.int64)
-            crc_ends.append(ce)
+                                     frame_times=times.tolist(),
+                                     frame_sizes=bs_v.tolist()))
+        if chain.size:
+            out0_c[chain] = np.cumsum(bs_v) - bs_v
+            chained_mask[chain] = True
+            crc_starts.append(cpos[chain])
+            crc_ends.append(end_byte[chain] + 2)
 
     # ---- decode dispatches: (walk group, P class) buckets.
+    _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
     dispatches, plans = [], []
     for (T, nch), cis in groups.items():
-        chained = [ci for ci in cis if ci in out0_of]
-        if not chained:
+        g_idx = np.asarray(cis)[chained_mask[cis]]
+        if g_idx.size == 0:
             continue
-        meta = walk_meta[(T, nch)]
-        by_p = {}
-        for ci in chained:
-            wi = walk_slot[ci][1]
-            by_p.setdefault(_p_class(max(int(meta[wi][2]), 1)),
-                            []).append(ci)
-        for P, p_cis in by_p.items():
+        pcls = _P_CLASSES_V[np.minimum(
+            np.searchsorted(_P_CLASSES_V, np.maximum(np_max_c[g_idx], 1)),
+            len(_P_CLASSES_V) - 1)]
+        for P in np.unique(pcls):
+            sub = g_idx[pcls == P]
             # Stream-then-position order makes runs contiguous.
-            p_cis.sort(key=lambda ci: (int(c_si[ci]), out0_of[ci]))
-            n_lanes = len(p_cis) * nch
+            sub = sub[np.lexsort((out0_c[sub], c_si[sub]))]
+            n_frames = sub.size
+            n_lanes = n_frames * nch
             L, Tb = bucket_shape(n_lanes, T, lane_quantum)
-            SA = _sa_class(max(int(meta[walk_slot[ci][1]][3])
-                               for ci in p_cis))
+            SA = _sa_class(int(sa_max_c[sub].max()))
             plan_arr = np.zeros((L, 3), np.int32)
-            plan = []
-            run = None
-            for li, ci in enumerate(p_cis):
-                wi = walk_slot[ci][1]
-                lane0 = li * nch
-                plan_arr[lane0:lane0 + nch, 0] = \
-                    np.arange(wi * nch, wi * nch + nch)
-                plan_arr[lane0:lane0 + nch, 1] = fields["block_size"][ci]
-                plan_arr[lane0:lane0 + nch, 2] = fields["mode"][ci]
-                si_idx = int(c_si[ci])
-                bs = int(fields["block_size"][ci])
-                if run is not None and run[0] == si_idx \
-                        and run[1] + run[2] * run[3] == out0_of[ci] \
-                        and run[3] == bs:
-                    run[2] += 1
-                else:
-                    if run is not None:
-                        plan.append(tuple(run[:2]) + (run[2], run[3],
-                                                      nch, run[4]))
-                    run = [si_idx, out0_of[ci], 1, bs, lane0]
-            if run is not None:
-                plan.append(tuple(run[:2]) + (run[2], run[3], nch,
-                                              run[4]))
+            rows = (wi_of[sub, None] * nch +
+                    np.arange(nch)[None, :]).reshape(-1)
+            bs_v = fields["block_size"][sub]
+            plan_arr[:n_lanes, 0] = rows
+            plan_arr[:n_lanes, 1] = np.repeat(bs_v, nch)
+            plan_arr[:n_lanes, 2] = np.repeat(fields["mode"][sub], nch)
+            si_v = c_si[sub]
+            out0_v = out0_c[sub]
+            brk = np.flatnonzero(
+                (si_v[1:] != si_v[:-1]) | (bs_v[1:] != bs_v[:-1])
+                | (out0_v[1:] != out0_v[:-1] + bs_v[:-1])) + 1
+            starts_r = np.concatenate([[0], brk])
+            ends_r = np.concatenate([brk, [n_frames]])
+            plan = [(int(si_v[st]), int(out0_v[st]), int(en - st),
+                     int(bs_v[st]), nch, int(st * nch))
+                    for st, en in zip(starts_r, ends_r)]
             out_packed = (_LITTLE_ENDIAN and Tb % 2 == 0
-                          and int(max(bps[ci] for ci in p_cis)) <= 16)
-            prog = _seg_decode_program(P, SA, out_packed)
+                          and int(bps[sub].max()) <= 16)
+            prog = _seg_decode_program(int(P), SA, out_packed)
             args = walk_out[(T, nch)] + (jnp.asarray(plan_arr),)
             upload_bytes += plan_arr.nbytes
             if out_packed:
