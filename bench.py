@@ -226,12 +226,32 @@ def main():
     # the first timed window.
     import jax
     warm = decode_streams_device(datas).sync()
-    decode_streams_device(mixed).sync()  # mixed-corpus compile warm-up
+    warm_mixed = decode_streams_device(mixed).sync()  # compile warm-up
 
+    tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
+    probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
+    np.asarray(tiny_sum(jax.device_put(probe)))
+
+    def probe_h2d():
+        # One 16 MiB upload closed by a dependent fetch. The tunnel's
+        # rate swings ~3x between minutes-long phases, so every ceiling
+        # is derived from a MEDIAN of probes -- and the efficiency
+        # ratios only from probes BRACKETING the phase they normalize.
+        t0 = time.perf_counter()
+        np.asarray(tiny_sum(jax.device_put(probe)))
+        return 16 / (time.perf_counter() - t0)
+
+    # Probes bracketing the to-device timings: the efficiency ratio must
+    # compare a rate with the link state DURING that rate's window, not
+    # with a probe taken minutes (= link phases) later.
+    h2d_probes = [probe_h2d()]
     dev_msamples_s, dev_reps = time_to_device(
         decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
+    h2d_probes.append(probe_h2d())
     mixed_dev_msamples_s, _ = time_to_device(
         decode_streams_device, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+    h2d_probes.append(probe_h2d())
+    phase1_mbps = sorted(h2d_probes)[1]
 
     # ---- Phase 1b: chip decode rate with the compressed corpus resident
     # in HBM (staged once, decoded repeatedly -- the training-input /
@@ -250,7 +270,14 @@ def main():
     # chain/bucket planning (VERDICT r2 item 3's >= 5x criterion).
     from claxon_tpu.pipeline_seg import decode_streams_segmented
 
-    _seg_warm = decode_streams_segmented(datas)
+    # Measured on a 4x-replicated corpus: the host walk's cost is
+    # O(payload bytes) so its ns/sample is scale-invariant, while the
+    # segmented path's per-batch fixed costs (jit dispatches, small
+    # fetches) amortize -- the at-scale number is the honest asymptote
+    # for both.
+    datas_1c = datas * 4
+    samples_1c = total_samples * 4
+    _seg_warm = decode_streams_segmented(datas_1c)
     # The metric is only meaningful if the device-demux path actually
     # engaged (a chain break silently falls back to the host walk).
     seg_engaged = getattr(_seg_warm, "_raw_plans", None) is not None
@@ -260,14 +287,15 @@ def main():
         best = float("inf")
         for _ in range(n):
             t0 = time.process_time()
-            dd = fn(datas)
+            dd = fn(datas_1c)
             dt = time.process_time() - t0
             dd.sync()
             best = min(best, dt)
-        return best * 1e9 / total_samples
+        return best * 1e9 / samples_1c
 
     hostwalk_ns = host_cpu_ns(decode_streams_device)
     seg_ns = host_cpu_ns(decode_streams_segmented)
+    datas_1c = None
 
     # Link budget: sustained h2d rate (dependent-fetch barrier -- the only
     # honest one on this transport, see tools/link_probe.py) and the upload
@@ -275,20 +303,6 @@ def main():
     # the tunnel imposes on ANY decode-to-device path; reporting it lets
     # the headline be judged against the medium, not just the baseline.
     upload_bytes = getattr(warm, "upload_bytes", 0)
-    tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
-    probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
-    d = jax.device_put(probe)
-    np.asarray(tiny_sum(d))
-
-    def probe_h2d():
-        # One 16 MiB upload closed by a dependent fetch. The tunnel's
-        # rate swings ~3x between minutes-long phases, so the ceiling is
-        # derived from the MEDIAN of probes spread across the run.
-        t0 = time.perf_counter()
-        np.asarray(tiny_sum(jax.device_put(probe)))
-        return 16 / (time.perf_counter() - t0)
-
-    h2d_probes = [probe_h2d()]
     bytes_per_sample = upload_bytes / max(total_samples, 1)
 
     # ---- Phase 2: end-to-end to-host (d2h-bound by nature; the process
@@ -358,8 +372,14 @@ def main():
     # Ceiling-normalized efficiency: the phase-stable figures of merit
     # (VERDICT r2 item 6 -- a bad link phase shifts both the rate and the
     # ceiling, so their ratio survives phase luck).
-    eff = (dev_msamples_s / link_ceiling) if link_ceiling else 0.0
-    eff_mixed = (mixed_dev_msamples_s / link_ceiling) if link_ceiling \
+    phase1_ceiling = (phase1_mbps * 1e6 / bytes_per_sample / 1e6
+                      if bytes_per_sample else 0.0)
+    mixed_bps = (getattr(warm_mixed, "upload_bytes", 0)
+                 / max(mixed_samples, 1))
+    mixed_ceiling = (phase1_mbps * 1e6 / mixed_bps / 1e6
+                     if mixed_bps else 0.0)
+    eff = (dev_msamples_s / phase1_ceiling) if phase1_ceiling else 0.0
+    eff_mixed = (mixed_dev_msamples_s / mixed_ceiling) if mixed_ceiling \
         else 0.0
 
     backend = "pallas" if (jax.devices()[0].platform == "tpu"
@@ -392,6 +412,8 @@ def main():
             "CLAXON_TPU_NO_BITS") else "host",
         "native_demux": native.available(),
         "upload_bytes_per_sample": round(bytes_per_sample, 3),
+        "upload_bytes_per_sample_mixed": round(mixed_bps, 3),
+        "link_h2d_phase1_mbps": round(phase1_mbps, 1),
         "link_h2d_mbps": round(h2d_mbps, 1),
         "link_h2d_probes_mbps": [round(x, 1) for x in h2d_probes],
         "link_ceiling_msamples_s": round(link_ceiling, 1),

@@ -158,6 +158,21 @@ def _walk_program(T, nch, F):
     return jax.jit(prog)
 
 
+@lru_cache(maxsize=1)
+def _bswap_program():
+    """bswap32 each word: little-endian upload -> the big-endian byte
+    packing every stream kernel indexes (byte i = word i >> 2, lane
+    3 - (i & 3))."""
+    import jax
+
+    def prog(w):
+        jnp = _jnp()
+        return (((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
+                | ((w >> 8) & 0xFF00) | ((w >> 24) & 0xFF))
+
+    return jax.jit(prog)
+
+
 @lru_cache(maxsize=None)
 def _seg_decode_program(P, SA, out_packed):
     """The segmented-path decode program: gather the chained lanes from
@@ -218,6 +233,16 @@ def decode_streams_segmented(datas, lane_quantum=None):
     if lane_quantum is None:
         lane_quantum = _L_QUANTUM
 
+    # CLAXON_TPU_SEG_DEBUG=1: per-stage host-CPU accounting (diagnostic).
+    import os
+    import time as _time
+    if os.environ.get("CLAXON_TPU_SEG_DEBUG"):
+        _marks = [("start", _time.process_time())]
+        _mark = lambda label: _marks.append((label, _time.process_time()))
+    else:
+        _marks = None
+        _mark = lambda label: None
+
     def _fallback():
         braws, mode = extract_streams_bits(datas, native)
         return decode_raw_bits_device(braws, lane_quantum, mode)
@@ -236,6 +261,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
         sis.append(si)
         payloads.append(np.frombuffer(d, np.uint8)[pos:])
 
+    _mark("metadata")
     # ---- one shared word-aligned upload (the pipeline_bits layout).
     sizes = [p.nbytes for p in payloads]
     wcs = [(s + 3) // 4 for s in sizes]
@@ -248,10 +274,13 @@ def decode_streams_segmented(datas, lane_quantum=None):
         buf[off:off + s] = p
         byte_off.append(off)
         off += wc * 4
-    stream = buf.view(">i4").astype(np.int32)
-    stream_dev = jnp.asarray(stream)
+    # Ship the raw little-endian words; the big-endian byte packing the
+    # kernels expect is one on-device bswap (saves a full host pass over
+    # the payload -- the .astype byteswap copy).
+    stream_dev = _bswap_program()(jnp.asarray(buf.view(np.int32)))
     upload_bytes = stream_dev.nbytes
 
+    _mark("upload")
     # ---- device segmentation: sync scan + header CRC-8 validation.
     # Sync-pattern hits are rare (~2/64Ki random byte pairs) and real
     # frames span KBs, so a bytes/512 estimate overshoots comfortably;
@@ -260,17 +289,22 @@ def decode_streams_segmented(datas, lane_quantum=None):
     est = total_w * 4 // 512 + 1
     while cap < est and cap < (1 << 22):
         cap *= 2
+    import jax
     while True:
-        cpos, cvalid, count = find_frame_headers(stream_dev, total_q * 4,
-                                                 cap)
+        # ONE overlapped d2h for all three results (device_get starts
+        # every copy before waiting; three np.asarray calls would pay
+        # three serial tunnel round trips).
+        cpos, cvalid, count = jax.device_get(
+            find_frame_headers(stream_dev, total_q * 4, cap))
         count = int(count)
         if count <= cap:
             break
         while cap < count:
             cap *= 2
-    cpos = np.asarray(cpos)[:count]
-    cvalid = np.asarray(cvalid)[:count]
+    cpos = cpos[:count]
+    cvalid = cvalid[:count]
 
+    _mark("segment")
     # ---- host header-field decode (~16 bytes per candidate).
     ends = np.asarray(byte_off, np.int64) + np.asarray(sizes, np.int64)
     c_si = np.searchsorted(ends, cpos, side="right")
@@ -284,10 +318,13 @@ def decode_streams_segmented(datas, lane_quantum=None):
                 & (fields["block_size"] >= 1)
                 & (fields["block_size"] <= _T_BUCKETS[-1]))
 
+    _mark("headers")
     # ---- walk groups: (T bucket, nch) over ALL plausible candidates
     # (false positives are walked too -- they lose the chain race below).
-    tb = np.array([bucket_shape(0, int(b))[1] if b >= 1 else 0
-                   for b in fields["block_size"]], np.int64)
+    tbv = np.asarray(_T_BUCKETS, np.int64)
+    tb = np.where(fields["block_size"] >= 1,
+                  tbv[np.minimum(np.searchsorted(tbv, fields["block_size"]),
+                                 len(tbv) - 1)], 0)
     groups = {}
     for ci in np.flatnonzero(walkable):
         groups.setdefault((int(tb[ci]), int(fields["nch"][ci])),
@@ -312,6 +349,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
         walk_out[(T, nch)] = outs
         walk_meta[(T, nch)] = np.asarray(summary)
 
+    _mark("walks")
     # ---- per-candidate walk summaries, scattered back to global arrays
     # (all planning below is vectorized numpy; no per-frame Python).
     walk_ok = np.zeros(count, bool)
@@ -328,6 +366,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
         sa_max_c[idx] = m[:len(cis), 3]
         wi_of[idx] = np.arange(len(cis))
 
+    _mark("scatter")
     # ---- chain per stream: ends -> next starts; must tile the payload.
     # Fast path: no false positives -- every candidate links to the next.
     ok_c = walkable & walk_ok
@@ -364,6 +403,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
             return _fallback()
         chains.append(np.asarray(chain, np.int64))
 
+    _mark("chains")
     # ---- results + output offsets (chain order IS stream order).
     results, pcms = [], []
     out0_c = np.zeros(count, np.int64)
@@ -386,6 +426,7 @@ def decode_streams_segmented(datas, lane_quantum=None):
             crc_starts.append(cpos[chain])
             crc_ends.append(end_byte[chain] + 2)
 
+    _mark("results")
     # ---- decode dispatches: (walk group, P class) buckets.
     _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
     dispatches, plans = [], []
@@ -453,6 +494,11 @@ def decode_streams_segmented(datas, lane_quantum=None):
         upload_bytes += se.nbytes
 
     dd.upload_bytes = upload_bytes
+    _mark("dispatch")
+    if _marks is not None:
+        deltas = [(b, round((t1 - t0) * 1e3, 3)) for (b, t1), (_, t0)
+                  in zip(_marks[1:], _marks)]
+        print("seg stage CPU ms:", deltas)
     return dd
 
 
