@@ -1,0 +1,180 @@
+"""Fused on-device demux: sync scan + header parse + subframe walk.
+
+One jitted program per (T, nch, cap, S) class that takes a group's raw
+little-endian stream words and returns everything the decode planner
+needs: the byte-swapped stream (device-resident, reused by the decode
+and CRC programs), the walk descriptor arrays, and ONE packed
+per-candidate summary array -- so a segmented decode costs exactly one
+upload, one dispatch, and one small d2h fetch before the decode
+dispatches. This replaces the three-dispatch, three-fetch flow
+(segmentation scan -> host header decode -> walk) with a single
+round trip; on a high-latency link the removed round trips dominate
+the host-side cost of small batches.
+
+Grouping contract: the caller groups streams by (streaminfo channel
+count, block-size bucket of the streaminfo maximum block size) BEFORE
+upload -- both known from metadata without touching payload bytes -- so
+``T`` and ``nch`` are static. Frames whose header contradicts the
+group's static shape (more channels, larger block) simply come back
+not-walkable and break the chain; the caller falls back to the host
+walk, which reproduces the reference's error behavior exactly.
+
+Header grammar: the device twin of ``pipeline_seg.host_header_fields``
+(reference `src/frame.rs:131-316`); subframe walk: ``ops.demux``.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["fused_demux", "SUMMARY_COLS", "pick_cap"]
+
+#: summary columns, per candidate (all int32):
+#: pos, sync_valid (header parse + CRC-8 ok), walk_ok, end_byte,
+#: n_parts_max, sa_max, block_size, mode, time_lo, time_hi, variable,
+#: bps, hlen, nch_hdr
+SUMMARY_COLS = ("pos", "valid", "walk_ok", "end_byte", "n_parts", "sa",
+                "block_size", "mode", "time_lo", "time_hi", "variable",
+                "bps", "hlen", "nch_hdr")
+
+#: stream-count padding quantum (compile classes for the per-stream
+#: metadata arrays).
+S_QUANTUM = 8
+
+_BPS_TABLE = np.array([0, 8, 12, -1, 16, 20, 24, -1], np.int32)
+
+
+def pick_cap(n_bytes):
+    """Candidate capacity class for a group payload: real frames span
+    KBs and random sync mimics are ~2/64Ki byte pairs, so bytes/512
+    overshoots comfortably; the caller re-dispatches with the next class
+    in the rare overflow."""
+    cap = 256
+    est = n_bytes // 512 + 1
+    while cap < est and cap < (1 << 22):
+        cap *= 2
+    return cap
+
+
+@lru_cache(maxsize=None)
+def _program(T, nch, cap, S):
+    import jax
+    import jax.numpy as jnp
+
+    from .demux import walk_frames
+    from .segment import (MAX_HEADER_BYTES, _leading_ones8,
+                          find_frame_headers)
+    from ..pipeline_seg import _WALK_KEYS
+
+    bps_table = jnp.asarray(_BPS_TABLE)
+
+    def prog(words_le, n_bytes, stream_ends, si_bps):
+        # words_le: (W,) int32 raw little-endian upload; byte i of the
+        # stream is word i >> 2, lane i & 3. One on-device bswap gives
+        # the big-endian packing every downstream kernel indexes.
+        w = words_le
+        stream = (((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
+                  | ((w >> 8) & 0xFF00) | ((w >> 24) & 0xFF))
+
+        positions, valid, count = find_frame_headers(stream, n_bytes, cap)
+
+        # ---- header fields (device twin of host_header_fields).
+        b = jnp.stack([(stream >> 24) & 255, (stream >> 16) & 255,
+                       (stream >> 8) & 255, stream & 255],
+                      axis=1).reshape(-1)
+        p = jnp.maximum(positions, 0)
+        win = b[jnp.clip(p[:, None]
+                         + jnp.arange(MAX_HEADER_BYTES + 1,
+                                      dtype=jnp.int32)[None, :],
+                         0, b.shape[0] - 1)]  # (cap, 16)
+        variable = win[:, 1] & 1
+        bs_code = win[:, 2] >> 4
+        sr_code = win[:, 2] & 15
+        ca = win[:, 3] >> 4
+        bps_code = (win[:, 3] >> 1) & 7
+        nch_hdr = jnp.where(ca < 8, ca + 1, 2)
+        mode = jnp.where(ca < 8, 0, ca - 7)
+
+        # UTF-8 frame/sample number: value needs up to 36 bits -> split
+        # halves (the TPU lanes are 32-bit; the host recombines).
+        lead = _leading_ones8(win[:, 4])
+        ulen = jnp.where(lead == 0, 1, lead)
+        mask0 = jnp.asarray([0x7F, 0, 0x1F, 0x0F, 0x07, 0x03, 0x01, 0],
+                            jnp.int32)
+        lo = win[:, 4] & mask0[jnp.minimum(lead, 7)]
+        hi = jnp.zeros_like(lo)
+        for j in range(1, 7):
+            use = j < ulen
+            hi = jnp.where(use, (hi << 6) | ((lo >> 26) & 0x3F), hi)
+            lo = jnp.where(use, (lo << 6) | (win[:, 4 + j] & 0x3F), lo)
+
+        bs_extra = jnp.where(bs_code == 6, 1, 0) \
+            + jnp.where(bs_code == 7, 2, 0)
+        sr_extra = jnp.where(sr_code == 12, 1, 0) \
+            + jnp.where((sr_code == 13) | (sr_code == 14), 2, 0)
+        o = 4 + ulen
+        b8 = jnp.take_along_axis(win, jnp.minimum(o, 15)[:, None],
+                                 axis=1)[:, 0]
+        b16 = (b8 << 8) | jnp.take_along_axis(
+            win, jnp.minimum(o + 1, 15)[:, None], axis=1)[:, 0]
+        block_size = jnp.select(
+            [bs_code == 1, bs_code <= 5, bs_code == 6, bs_code == 7],
+            [jnp.full_like(b8, 192),
+             576 << jnp.maximum(bs_code - 2, 0), b8 + 1, b16 + 1],
+            256 << jnp.maximum(bs_code - 8, 0))
+        valid = valid & ~((bs_code == 7) & (b16 == 0xFFFF))
+        hlen = o + bs_extra + sr_extra + 1  # + the CRC-8 byte
+
+        # ---- per-candidate stream index + bps resolution.
+        c_si = jnp.searchsorted(stream_ends, p, side="right")
+        c_si = jnp.minimum(c_si, S - 1)
+        bps = jnp.where(bps_code == 0, si_bps[c_si],
+                        bps_table[jnp.minimum(bps_code, 7)])
+
+        # ---- walk every candidate speculatively (padding lanes walk a
+        # zero-length frame and come back not-ok; they are never chained).
+        walkable = (valid & (nch_hdr == nch) & (bps > 0)
+                    & (block_size >= 1) & (block_size <= T))
+        start_bits = jnp.where(walkable, (p + hlen) * 8, 0)
+        w_bs = jnp.where(walkable, block_size, 0)
+        w_bps = jnp.where(walkable, bps, 1)
+        out, end_bits, walk_ok = walk_frames(
+            stream, start_bits, w_bs, mode, w_bps, T=T, nch=nch)
+
+        np_f = out["n_parts"].reshape(cap, nch).max(axis=1)
+        sa_f = out["sa_words"].reshape(cap, nch).max(axis=1)
+        summary = jnp.stack(
+            [positions, (valid & walkable).astype(jnp.int32),
+             walk_ok.astype(jnp.int32), end_bits >> 3, np_f, sa_f,
+             block_size, mode, lo, hi, variable, bps, hlen, nch_hdr],
+            axis=1)
+        return stream, tuple(out[k] for k in _WALK_KEYS), summary, count
+
+    return jax.jit(prog, static_argnames=("n_bytes",))
+
+
+def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps):
+    """Run the fused program, growing the candidate capacity on the rare
+    overflow. Returns (stream_be, walk_arrays, summary (np, count rows),
+    count) -- summary/count already fetched (ONE d2h round trip)."""
+    import jax
+    import jax.numpy as jnp
+
+    S = -(-max(len(stream_ends), 1) // S_QUANTUM) * S_QUANTUM
+    ends = np.full(S, n_bytes, np.int32)
+    ends[:len(stream_ends)] = stream_ends
+    bps_a = np.ones(S, np.int32)
+    bps_a[:len(si_bps)] = si_bps
+    ends_d = jnp.asarray(ends)
+    bps_d = jnp.asarray(bps_a)
+
+    cap = pick_cap(n_bytes)
+    while True:
+        stream, walk, summary, count = _program(T, nch, cap, S)(
+            words_le, n_bytes, ends_d, bps_d)
+        summary, count = jax.device_get((summary, count))
+        count = int(count)
+        if count <= cap:
+            return stream, walk, summary[:count], count
+        while cap < count:
+            cap *= 2

@@ -280,8 +280,9 @@ class DeviceDecoded:
         if self.crc_check == "failed":
             from .error import fmt_err
             fmt_err("frame CRC mismatch")
-        vals, n = self.crc_check
-        if np.asarray(vals)[:n].any():
+        pairs = (self.crc_check if isinstance(self.crc_check, list)
+                 else [self.crc_check])
+        if any(np.asarray(vals)[:n].any() for vals, n in pairs):
             self.crc_check = "failed"
             from .error import fmt_err
             fmt_err("frame CRC mismatch")
@@ -295,7 +296,10 @@ class DeviceDecoded:
             return self
         self._fetch_started = True
         if self.crc_check is not None and self.crc_check != "failed":
-            self.crc_check[0].copy_to_host_async()
+            pairs = (self.crc_check if isinstance(self.crc_check, list)
+                     else [self.crc_check])
+            for vals, _n in pairs:
+                vals.copy_to_host_async()
         for d in self.dispatches:
             if d.flag is not None:
                 d.flag.copy_to_host_async()

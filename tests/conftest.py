@@ -30,6 +30,11 @@ if os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE", "0").lower() in ("", "0", "fals
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compile cache: a cold suite run pays ~9 min of CPU
+    # compiles on this one-core host; warm re-runs skip them entirely.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO_ROOT / ".test_cache" / "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_SAMPLES = pathlib.Path("/root/reference/testsamples")
 
