@@ -121,30 +121,42 @@ def verify_corpus(datas):
     return total
 
 
-def time_to_device(decode_streams_device, datas, total_samples,
+def time_to_device(decode_async, datas, total_samples,
                    seconds, max_reps=200):
-    """Sustained decode-to-HBM rate: dispatch batches back to back, close
-    with one dependent flag fetch (the only d2h of the phase, inside the
-    timed window)."""
+    """Sustained decode-to-HBM rate: dispatch batches back to back with a
+    depth-1 begin/finish overlap (the production async API -- on the
+    segmented path batch n's demux round trip hides behind batch n+1's
+    upload), closed by one dependent flag fetch (the only d2h of the
+    phase, inside the timed window)."""
     reps = 0
+    pending = None
     last = None
     t0 = time.perf_counter()
     while True:
-        last = decode_streams_device(datas)
+        h = decode_async(datas)
+        if pending is not None:
+            last = pending.finish()
+        pending = h
         reps += 1
         if time.perf_counter() - t0 >= seconds or reps >= max_reps:
             break
+    last = pending.finish()
     last.sync()
     elapsed = time.perf_counter() - t0
     return total_samples * reps / elapsed / 1e6, reps
 
 
-def capture_programs(decode_streams_device, datas):
+def capture_programs(decode_fn, datas):
     """Run one batch while capturing every (compiled program, device args)
     pair it dispatches -- the re-dispatchable form of the decode step with
-    all inputs resident in HBM."""
+    all inputs resident in HBM. Covers both the host-walk bits programs
+    and the segmented path's fused demux + decode programs, so the
+    resident rate measures the FULL on-chip decode of whichever path ran
+    (on the segmented path that includes the demux itself)."""
+    import claxon_tpu.ops.seg_parse as sp
     import claxon_tpu.pipeline as pl
     import claxon_tpu.pipeline_bits as pb
+    import claxon_tpu.pipeline_seg as ps
 
     pairs = []
 
@@ -152,36 +164,38 @@ def capture_programs(decode_streams_device, datas):
         def factory(*k, **kw):
             prog = orig(*k, **kw)
 
-            def run(*args):
+            def run(*args, **pkw):
                 pairs.append((prog, args))
-                return prog(*args)
+                return prog(*args, **pkw)
 
             return run
 
         return factory
 
     saved = (pb._stream_program, pb._bits_program, pb._crc_program,
-             pl._decode_program)
+             pl._decode_program, ps._seg_decode_program, sp._program)
     pb._stream_program = wrap(saved[0])
     pb._bits_program = wrap(saved[1])
     pb._crc_program = wrap(saved[2])
     pl._decode_program = wrap(saved[3])
+    ps._seg_decode_program = wrap(saved[4])
+    sp._program = wrap(saved[5])
     try:
-        decode_streams_device(datas).sync()
+        decode_fn(datas).sync()
     finally:
         (pb._stream_program, pb._bits_program, pb._crc_program,
-         pl._decode_program) = saved
+         pl._decode_program, ps._seg_decode_program, sp._program) = saved
     return pairs
 
 
 def _probe_outputs(outs):
     """Tiny dependent fetch per program output (completion proof)."""
+    import jax
+
     for o in outs:
-        if isinstance(o, tuple):
-            small = o[1] if len(o) >= 3 else o[0][:1, :1]
-        else:
-            small = o[:1]
-        np.asarray(small)
+        small = jax.tree_util.tree_leaves(o)[-1]
+        np.asarray(small if getattr(small, "ndim", 0) == 0
+                   else small.ravel()[:1])
 
 
 def time_device_resident(pairs, total_samples, seconds, max_reps=60):
@@ -213,7 +227,8 @@ def main():
         pass
 
     from claxon_tpu import native
-    from claxon_tpu.pipeline import decode_streams, decode_streams_device
+    from claxon_tpu.pipeline import (decode_streams, decode_streams_device,
+                                     decode_streams_device_async)
 
     datas = build_corpus()
     mixed = build_mixed_corpus()
@@ -224,9 +239,23 @@ def main():
     # compilation on this backend is asynchronous and block_until_ready
     # acks early, so an unfinished warm-up silently bills its compile to
     # the first timed window.
+    #
+    # Path choice per corpus: the segmented (device-demux) path when it
+    # actually engages on that corpus (the .segmented marker -- a batch
+    # that falls back mid-flight would otherwise pay its upload twice),
+    # the host-walk bits path otherwise. The JSON records the choice.
     import jax
-    warm = decode_streams_device(datas).sync()
-    warm_mixed = decode_streams_device(mixed).sync()  # compile warm-up
+    warm_host = decode_streams_device(datas, segmentation="host").sync()
+    warm_seg = decode_streams_device(datas, segmentation="device")
+    seg_engaged = getattr(warm_seg, "segmented", False)
+    warm_seg.sync()
+    seg_choice = "device" if seg_engaged else "host"
+    warm = warm_seg if seg_engaged else warm_host
+
+    warm_mixed = decode_streams_device(mixed, segmentation="device")
+    mixed_engaged = getattr(warm_mixed, "segmented", False)
+    mixed_choice = "device" if mixed_engaged else "host"
+    warm_mixed.sync()  # compile warm-up (fallback = host-path warm-up)
 
     tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
     probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
@@ -244,13 +273,27 @@ def main():
     # Probes bracketing the to-device timings: the efficiency ratio must
     # compare a rate with the link state DURING that rate's window, not
     # with a probe taken minutes (= link phases) later.
+    def dev_async(b):
+        return decode_streams_device_async(b, segmentation=seg_choice)
+
+    def mixed_async(b):
+        return decode_streams_device_async(b, segmentation=mixed_choice)
+
+    def hostwalk_async(b):
+        return decode_streams_device_async(b, segmentation="host")
+
     h2d_probes = [probe_h2d()]
     dev_msamples_s, dev_reps = time_to_device(
-        decode_streams_device, datas, total_samples, TO_DEVICE_SECONDS)
+        dev_async, datas, total_samples, TO_DEVICE_SECONDS)
     h2d_probes.append(probe_h2d())
     mixed_dev_msamples_s, _ = time_to_device(
-        decode_streams_device, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+        mixed_async, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
     h2d_probes.append(probe_h2d())
+    # Continuity figure: the host-walk path under the same methodology
+    # (r01/r02 headline), short window.
+    hostwalk_msamples_s, _ = time_to_device(
+        hostwalk_async, datas, total_samples, TO_DEVICE_SECONDS / 2) \
+        if seg_choice == "device" else (dev_msamples_s, 0)
     phase1_mbps = sorted(h2d_probes)[1]
 
     # ---- Phase 1b: chip decode rate with the compressed corpus resident
@@ -258,7 +301,8 @@ def main():
     # repeat-serve scenario). This isolates the decode engine from the
     # tunnel: entropy decode + synthesis + epilogue + CRC verify + int16
     # pack, dispatched exactly as production does.
-    pairs = capture_programs(decode_streams_device, datas)
+    pairs = capture_programs(
+        lambda b: decode_streams_device(b, segmentation=seg_choice), datas)
     resident_msamples_s, resident_reps = time_device_resident(
         pairs, total_samples, TO_DEVICE_SECONDS / 2)
     pairs = None
@@ -280,7 +324,7 @@ def main():
     _seg_warm = decode_streams_segmented(datas_1c)
     # The metric is only meaningful if the device-demux path actually
     # engaged (a chain break silently falls back to the host walk).
-    seg_engaged = getattr(_seg_warm, "_raw_plans", None) is not None
+    seg_engaged_1c = getattr(_seg_warm, "segmented", False)
     _seg_warm.sync()  # compile warm-up
 
     def host_cpu_ns(fn, n=3):
@@ -321,16 +365,25 @@ def main():
         w0 = time.perf_counter()
         w_reps = 0
         in_flight = []
-        while True:
-            dev = decode_streams_device(datas)
+        pending = None
+
+        def _land(p):
+            dev = p.finish()
             dev.start_fetch()
             in_flight.append(dev)
-            w_reps += 1
             if len(in_flight) > 3:  # depth-3 pipeline: ~8% over depth 1
                 in_flight.pop(0).to_host()
+
+        while True:
+            h = dev_async(datas)
+            if pending is not None:
+                _land(pending)
+            pending = h
+            w_reps += 1
             if (time.perf_counter() - w0 >= TO_HOST_SECONDS / N_WINDOWS
                     or w_reps >= 20):
                 break
+        _land(pending)
         for dev in in_flight:
             dev.to_host()
         rates.append(total_samples * w_reps / (time.perf_counter() - w0))
@@ -394,6 +447,11 @@ def main():
         "to_device_vs_baseline": round(dev_msamples_s / BASELINE_MSAMPLES_S,
                                        3),
         "to_device_mixed_msamples_s": round(mixed_dev_msamples_s, 3),
+        "to_device_path": "segmented" if seg_choice == "device"
+                          else "hostwalk",
+        "to_device_mixed_path": "segmented" if mixed_choice == "device"
+                                else "hostwalk",
+        "to_device_hostwalk_msamples_s": round(hostwalk_msamples_s, 3),
         "link_efficiency": round(eff, 3),
         "link_efficiency_mixed": round(eff_mixed, 3),
         "device_resident_msamples_s": round(resident_msamples_s, 3),
@@ -406,7 +464,7 @@ def main():
         "host_cpu_ns_per_sample_hostwalk": round(hostwalk_ns, 2),
         "host_cpu_ns_per_sample_segmented": round(seg_ns, 2),
         "host_demux_speedup": round(hostwalk_ns / max(seg_ns, 1e-9), 2),
-        "segmented_engaged": seg_engaged,
+        "segmented_engaged": seg_engaged_1c,
         "synthesis_backend": backend,
         "entropy_decode": "device" if not os.environ.get(
             "CLAXON_TPU_NO_BITS") else "host",

@@ -27,7 +27,7 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["fused_demux", "SUMMARY_COLS", "pick_cap"]
+__all__ = ["fused_demux", "fused_demux_async", "SUMMARY_COLS", "pick_cap"]
 
 #: summary columns, per candidate (all int32):
 #: pos, sync_valid (header parse + CRC-8 ok), walk_ok, end_byte,
@@ -153,11 +153,41 @@ def _program(T, nch, cap, S):
     return jax.jit(prog, static_argnames=("n_bytes",))
 
 
-def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps):
-    """Run the fused program, growing the candidate capacity on the rare
-    overflow. Returns (stream_be, walk_arrays, summary (np, count rows),
-    count) -- summary/count already fetched (ONE d2h round trip)."""
-    import jax
+class PendingDemux:
+    """An in-flight fused-demux dispatch: the program has been launched
+    and the summary/count d2h copies started (``copy_to_host_async``), so
+    the round trip overlaps whatever the caller does before ``resolve()``
+    -- uploading the next group, planning the previous batch. ``resolve``
+    blocks on the fetch and transparently re-dispatches with a larger
+    candidate capacity on the rare overflow."""
+
+    def __init__(self, words_le, n_bytes, T, nch, ends_d, bps_d, cap, S):
+        self._key = (words_le, n_bytes, T, nch, ends_d, bps_d, S)
+        self._dispatch(cap)
+
+    def _dispatch(self, cap):
+        words_le, n_bytes, T, nch, ends_d, bps_d, S = self._key
+        self.cap = cap
+        self.stream, self.walk, self._summary, self._count = \
+            _program(T, nch, cap, S)(words_le, n_bytes, ends_d, bps_d)
+        self._summary.copy_to_host_async()
+        self._count.copy_to_host_async()
+
+    def resolve(self):
+        """(summary (np, count rows), count) -- blocks on the fetch."""
+        while True:
+            count = int(np.asarray(self._count))
+            if count <= self.cap:
+                return np.asarray(self._summary)[:count], count
+            cap = self.cap
+            while cap < count:
+                cap *= 2
+            self._dispatch(cap)
+
+
+def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps):
+    """Launch the fused program and START the summary fetch; the caller
+    overlaps host/link work with the round trip and calls ``resolve()``."""
     import jax.numpy as jnp
 
     S = -(-max(len(stream_ends), 1) // S_QUANTUM) * S_QUANTUM
@@ -165,16 +195,13 @@ def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps):
     ends[:len(stream_ends)] = stream_ends
     bps_a = np.ones(S, np.int32)
     bps_a[:len(si_bps)] = si_bps
-    ends_d = jnp.asarray(ends)
-    bps_d = jnp.asarray(bps_a)
+    return PendingDemux(words_le, n_bytes, T, nch, jnp.asarray(ends),
+                        jnp.asarray(bps_a), pick_cap(n_bytes), S)
 
-    cap = pick_cap(n_bytes)
-    while True:
-        stream, walk, summary, count = _program(T, nch, cap, S)(
-            words_le, n_bytes, ends_d, bps_d)
-        summary, count = jax.device_get((summary, count))
-        count = int(count)
-        if count <= cap:
-            return stream, walk, summary[:count], count
-        while cap < count:
-            cap *= 2
+
+def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps):
+    """Synchronous form: dispatch + ONE d2h round trip. Returns
+    (stream_be, walk_arrays, summary (np, count rows), count)."""
+    p = fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps)
+    summary, count = p.resolve()
+    return p.stream, p.walk, summary, count

@@ -668,16 +668,27 @@ def decode_streams_pipelined(datas, batch_streams=8, depth=3,
     software pipeline bench.py measures, as a library call). ``depth``
     bounds the in-flight batches (~8% over depth 1 on the measured link;
     each holds its device buckets + transfer buffers). Results are in
-    input order."""
+    input order. On the segmented path each batch's demux round trip
+    additionally hides behind the next batch's upload (the async split)."""
     results = []
     in_flight = []
-    for i in range(0, len(datas), batch_streams):
-        dev = decode_streams_device(datas[i:i + batch_streams], use_native,
-                                    lane_quantum)
+    pending = None
+
+    def _land(p):
+        dev = p.finish()
         dev.start_fetch()
         in_flight.append(dev)
         if len(in_flight) > depth:
             results.extend(in_flight.pop(0).to_host())
+
+    for i in range(0, len(datas), batch_streams):
+        h = decode_streams_device_async(datas[i:i + batch_streams],
+                                        use_native, lane_quantum)
+        if pending is not None:
+            _land(pending)
+        pending = h
+    if pending is not None:
+        _land(pending)
     for dev in in_flight:
         results.extend(dev.to_host())
     return results
@@ -742,3 +753,50 @@ def decode_streams_device(datas, use_native=True,
             return decode_raw_batches_device(raws, lane_quantum)
     return decode_batches_device([_extract(d, use_native) for d in datas],
                                  lane_quantum)
+
+
+class _PendingDeviceBatch:
+    """Handle for an in-flight ``decode_streams_device_async`` batch."""
+
+    def __init__(self, finish):
+        self._finish = finish
+        self._done = None
+
+    def finish(self) -> DeviceDecoded:
+        if self._done is None:
+            self._done = self._finish()
+            self._finish = None
+        return self._done
+
+
+def decode_streams_device_async(datas, use_native=True,
+                                lane_quantum=_L_QUANTUM,
+                                segmentation=None) -> _PendingDeviceBatch:
+    """Two-stage form of ``decode_streams_device`` for overlapping
+    batches: returns immediately once the batch's uploads and first-stage
+    programs are dispatched; ``finish()`` completes planning and returns
+    the ``DeviceDecoded``.
+
+    The split only has substance on the segmented path, whose demux
+    summary fetch is a full link round trip: begin the next batch before
+    finishing the current one and that round trip hides behind the next
+    batch's host work + upload instead of idling the link. The other
+    paths have no mid-batch round trip, so they dispatch eagerly and
+    ``finish()`` is a no-op.
+    """
+    import os
+
+    if segmentation is None:
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+    if (use_native and segmentation == "device"
+            and not os.environ.get("CLAXON_TPU_NO_BITS")
+            and _native_mod() is not None):
+        from .pipeline_seg import (begin_segmented, finish_segmented,
+                                   _host_fallback)
+        pending = begin_segmented(datas, lane_quantum)
+        if pending is not None:
+            return _PendingDeviceBatch(lambda: finish_segmented(pending))
+        dd = _host_fallback(datas, lane_quantum)
+        return _PendingDeviceBatch(lambda: dd)
+    dd = decode_streams_device(datas, use_native, lane_quantum, segmentation)
+    return _PendingDeviceBatch(lambda: dd)

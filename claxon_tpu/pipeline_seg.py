@@ -35,7 +35,8 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["decode_streams_segmented", "host_header_fields"]
+__all__ = ["decode_streams_segmented", "begin_segmented",
+           "finish_segmented", "host_header_fields"]
 
 #: sample-rate extra bytes by code (codes 12, 13, 14 read 1/2/2 bytes).
 _SR_EXTRA = np.array([0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 2, 0],
@@ -172,26 +173,45 @@ def _seg_decode_program(P, SA, out_packed):
     return jax.jit(prog)
 
 
-def decode_streams_segmented(datas, lane_quantum=None):
-    """Decode FLAC streams with on-device segmentation + demux.
+class _SegPending:
+    """An in-flight segmented batch: every group's upload + fused demux
+    has been dispatched and its summary fetch started. ``finish`` (or
+    ``decode_streams_segmented``) turns it into a ``DeviceDecoded``."""
 
-    Drop-in sibling of ``pipeline.decode_streams_device`` (returns a
-    ``DeviceDecoded``); the host never walks payload bytes. When any
-    stream cannot ride the device-demux path -- a walk-rejected frame
-    (escaped partitions, > 64 partitions, oversized codes...), a chain
-    break, > 2 channels, an oversized batch -- the WHOLE batch falls back
-    to the host-walk bits pipeline, which reproduces the reference's
-    exact error behavior. (Fallbacks are per-batch for simplicity; the
-    host path is itself bit-exact, so this only affects speed.)
+    __slots__ = ("datas", "lane_quantum", "sis", "groups", "upload_bytes",
+                 "marks", "mark")
+
+    def __init__(self, datas, lane_quantum):
+        self.datas = datas
+        self.lane_quantum = lane_quantum
+        self.groups = []
+        self.upload_bytes = 0
+
+
+def _host_fallback(datas, lane_quantum):
+    from .pipeline import decode_streams_device
+    return decode_streams_device(datas, lane_quantum=lane_quantum,
+                                 segmentation="host")
+
+
+def begin_segmented(datas, lane_quantum=None):
+    """Stage 1 of the segmented decode: metadata parse, stream grouping,
+    and -- per group -- ONE upload, ONE fused demux dispatch, and an
+    async summary-fetch start. Returns a ``_SegPending`` for
+    ``finish_segmented``, or ``None`` when the batch cannot ride the
+    device-demux path at all (caller takes the host-walk pipeline).
+
+    The begin/finish split exists because the summary fetch is a full
+    link round trip: callers that overlap batches (``pipeline.
+    decode_streams_device_async``, the pipelined corpus APIs, bench.py's
+    to-device loop) hide that latency behind the NEXT batch's host work
+    and upload instead of idling in it.
     """
     from . import native
     from .native.binding import _read_metadata
-    from .ops.seg_parse import SUMMARY_COLS, fused_demux
-    from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
-                           _LITTLE_ENDIAN, _L_QUANTUM, bucket_shape,
-                           _T_BUCKETS, extract_streams_bits)
-    from .pipeline_bits import (_STREAM_QUANTUM, _crc_program,
-                                _P_CLASSES, decode_raw_bits_device)
+    from .ops.seg_parse import fused_demux_async
+    from .pipeline import _L_QUANTUM, _T_BUCKETS
+    from .pipeline_bits import _STREAM_QUANTUM
 
     jnp = _jnp()
     if lane_quantum is None:
@@ -200,23 +220,20 @@ def decode_streams_segmented(datas, lane_quantum=None):
     # CLAXON_TPU_SEG_DEBUG=1: per-stage host-CPU accounting (diagnostic).
     import os
     import time as _time
+    pending = _SegPending(datas, lane_quantum)
     if os.environ.get("CLAXON_TPU_SEG_DEBUG"):
-        _marks = [("start", _time.process_time())]
-        _mark = lambda label: _marks.append((label, _time.process_time()))
+        pending.marks = [("start", _time.process_time())]
+        pending.mark = lambda label: pending.marks.append(
+            (label, _time.process_time()))
     else:
-        _marks = None
-        _mark = lambda label: None
-
-    def _fallback():
-        braws, mode = extract_streams_bits(datas, native)
-        return decode_raw_bits_device(braws, lane_quantum, mode)
+        pending.marks = None
+        pending.mark = lambda label: None
+    _mark = pending.mark
 
     if not native.available():
-        from .pipeline import decode_streams_device
-        return decode_streams_device(datas, use_native=False,
-                                     lane_quantum=lane_quantum)
+        return None
     if sum(len(d) for d in datas) >= (1 << 27):
-        return _fallback()  # int32 bit positions cap, like stream mode
+        return None  # int32 bit positions cap, like stream mode
 
     # ---- host metadata parse (headers only; no payload bytes touched).
     sis, payloads = [], []
@@ -225,10 +242,11 @@ def decode_streams_segmented(datas, lane_quantum=None):
         sis.append(si)
         payloads.append(np.frombuffer(d, np.uint8)[pos:])
     if any(si.channels > 2 for si in sis):
-        return _fallback()  # device stereo decorrelation is 2-lane
+        return None  # device stereo decorrelation is 2-lane
     tbv = np.asarray(_T_BUCKETS, np.int64)
     if any(si.max_block_size > int(tbv[-1]) for si in sis):
-        return _fallback()
+        return None
+    pending.sis = sis
     _mark("metadata")
 
     # ---- stream groups: (T bucket of the STREAMINFO max block size,
@@ -240,12 +258,6 @@ def decode_streams_segmented(datas, lane_quantum=None):
     for gi, si in enumerate(sis):
         T = int(tbv[np.searchsorted(tbv, max(si.max_block_size, 1))])
         si_groups.setdefault((T, si.channels), []).append(gi)
-
-    results = [None] * len(datas)
-    pcms = [None] * len(datas)
-    dispatches, plans, crc_pairs = [], [], []
-    upload_bytes = 0
-    _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
 
     for (T, nch), g_streams in si_groups.items():
         g_payloads = [payloads[i] for i in g_streams]
@@ -264,13 +276,47 @@ def decode_streams_segmented(datas, lane_quantum=None):
         _mark("buf")
 
         # ---- ONE upload (raw little-endian words; the device
-        # byte-swaps) + ONE fused demux dispatch + ONE summary fetch.
+        # byte-swaps) + ONE fused demux dispatch; the summary fetch is
+        # already in flight when this returns.
         words_le = jnp.asarray(buf.view(np.int32))
-        upload_bytes += total_q * 4
-        stream_dev, walk, summary, count = fused_demux(
+        pending.upload_bytes += total_q * 4
+        pend = fused_demux_async(
             words_le, total_q * 4, T, nch, ends_abs,
             [sis[i].bits_per_sample for i in g_streams])
+        pending.groups.append((T, nch, g_streams, byte_off, ends_abs,
+                               sizes, pend))
         _mark("fused")
+    return pending
+
+
+def finish_segmented(pending):
+    """Stage 2: resolve each group's summary, chain candidates, plan and
+    dispatch the decode + CRC programs. Falls back to the host-walk
+    pipeline (bit-exact, reference-exact errors) on any chain break."""
+    from .ops.seg_parse import SUMMARY_COLS
+    from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
+                           _LITTLE_ENDIAN, bucket_shape)
+    from .pipeline_bits import _crc_program, _P_CLASSES
+
+    jnp = _jnp()
+    datas = pending.datas
+    lane_quantum = pending.lane_quantum
+    sis = pending.sis
+    _mark = pending.mark
+
+    def _fallback():
+        return _host_fallback(datas, lane_quantum)
+
+    results = [None] * len(datas)
+    pcms = [None] * len(datas)
+    dispatches, plans, crc_pairs = [], [], []
+    upload_bytes = pending.upload_bytes
+    _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
+
+    for (T, nch, g_streams, byte_off, ends_abs, sizes, pend) \
+            in pending.groups:
+        summary, count = pend.resolve()
+        stream_dev, walk = pend.stream, pend.walk
 
         cols = {name: summary[:, k].astype(np.int64)
                 for k, name in enumerate(SUMMARY_COLS)}
@@ -409,11 +455,34 @@ def decode_streams_segmented(datas, lane_quantum=None):
 
     dd = DeviceDecoded(results, [], [], dispatches)
     dd._raw_plans = (plans, pcms)
+    dd.segmented = True  # marker: the device-demux path really engaged
     if crc_pairs:
         dd.crc_check = crc_pairs
     dd.upload_bytes = upload_bytes
-    if _marks is not None:
+    if pending.marks is not None:
         deltas = [(b, round((t1 - t0) * 1e3, 3)) for (b, t1), (_, t0)
-                  in zip(_marks[1:], _marks)]
+                  in zip(pending.marks[1:], pending.marks)]
         print("seg stage CPU ms:", deltas)
     return dd
+
+
+def decode_streams_segmented(datas, lane_quantum=None):
+    """Decode FLAC streams with on-device segmentation + demux.
+
+    Drop-in sibling of ``pipeline.decode_streams_device`` (returns a
+    ``DeviceDecoded``); the host never walks payload bytes. When any
+    stream cannot ride the device-demux path -- a walk-rejected frame
+    (escaped partitions, > 64 partitions, oversized codes...), a chain
+    break, > 2 channels, an oversized batch -- the WHOLE batch falls back
+    to the host-walk bits pipeline, which reproduces the reference's
+    exact error behavior. (Fallbacks are per-batch for simplicity; the
+    host path is itself bit-exact, so this only affects speed.)
+
+    Overlapping callers use ``begin_segmented``/``finish_segmented``
+    directly (`pipeline.decode_streams_device_async`) so the summary
+    round trip hides behind the next batch's work.
+    """
+    pending = begin_segmented(datas, lane_quantum)
+    if pending is None:
+        return _host_fallback(datas, lane_quantum)
+    return finish_segmented(pending)

@@ -163,3 +163,71 @@ def test_segmented_on_reference_samples():
     datas = [open(f"/root/reference/testsamples/{n}", "rb").read()
              for n in ("pop.flac", "short.flac", "wasted_bits.flac")]
     _assert_equal(datas)
+
+
+def _gen_batches(n_batches, per_batch=2):
+    batches = []
+    for b in range(n_batches):
+        batch = []
+        for k in range(per_batch):
+            pcm = synth_music(3000 + 500 * b + 123 * k, channels=2,
+                              bps=16, seed=100 * b + k)
+            batch.append(encode_flac(pcm, 44100, 16, block_size=1024))
+        batches.append(batch)
+    return batches
+
+
+def test_async_overlapped_batches_match_and_keep_order():
+    """Two segmented batches in flight at once (begin n+1 before finish n,
+    the bench/pipelined overlap pattern) decode bit-identically and keep
+    per-batch stream order."""
+    from claxon_tpu.pipeline import decode_streams_device_async
+
+    batches = _gen_batches(3)
+    want = [[s.pcm for s in _host(b).to_host()] for b in batches]
+    handles = []
+    pending = None
+    done = []
+    for b in batches:
+        h = decode_streams_device_async(b, segmentation="device")
+        if pending is not None:
+            done.append(pending.finish())
+        pending = h
+        handles.append(h)
+    done.append(pending.finish())
+    for dd, w in zip(done, want):
+        assert getattr(dd, "segmented", False)
+        got = dd.to_host()
+        for g, wp in zip(got, w):
+            assert np.array_equal(g.pcm, wp)
+    # finish() is idempotent (returns the same DeviceDecoded).
+    assert handles[0].finish() is done[0]
+
+
+def test_async_fallback_handle_works():
+    """A batch the device walk cannot represent still returns a working
+    handle (eager host-walk decode behind it), bit-exact."""
+    from claxon_tpu.pipeline import decode_streams_device_async
+
+    pcm = synth_music(9000, channels=2, bps=16, seed=4)
+    flac = encode_flac(pcm, 44100, 16, block_size=4096, partition_order=7)
+    want = _host([flac]).to_host()
+    dd = decode_streams_device_async([flac], segmentation="device").finish()
+    assert not getattr(dd, "segmented", False)
+    got = dd.to_host()
+    assert np.array_equal(got[0].pcm, want[0].pcm)
+
+
+def test_pipelined_corpus_segmented(monkeypatch):
+    """decode_streams_pipelined with device segmentation: overlapping
+    segmented batches across a corpus, results in input order."""
+    monkeypatch.setenv("CLAXON_TPU_SEGMENTATION", "device")
+    from claxon_tpu.pipeline import decode_streams_pipelined
+
+    datas = [d for b in _gen_batches(3) for d in b]
+    monkeypatch.delenv("CLAXON_TPU_SEGMENTATION", raising=False)
+    want = [s.pcm for s in _host(datas).to_host()]
+    monkeypatch.setenv("CLAXON_TPU_SEGMENTATION", "device")
+    got = decode_streams_pipelined(datas, batch_streams=2, depth=2)
+    for g, w in zip(got, want):
+        assert np.array_equal(g.pcm, w)
