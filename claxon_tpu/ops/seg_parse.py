@@ -29,13 +29,37 @@ import numpy as np
 
 __all__ = ["fused_demux", "fused_demux_async", "SUMMARY_COLS", "pick_cap"]
 
-#: summary columns, per candidate (all int32):
+#: summary columns, per candidate (int64 after unpacking):
 #: pos, sync_valid (header parse + CRC-8 ok), walk_ok, end_byte,
 #: n_parts_max, sa_max, block_size, mode, time_lo, time_hi, variable,
 #: bps, hlen, nch_hdr
 SUMMARY_COLS = ("pos", "valid", "walk_ok", "end_byte", "n_parts", "sa",
                 "block_size", "mode", "time_lo", "time_hi", "variable",
                 "bps", "hlen", "nch_hdr")
+
+#: on-device packed form: 5 int32 words per candidate (the summary is
+#: the per-batch d2h payload and rides the slow link every batch).
+#: w0=pos, w1=end_byte, w2=time_lo,
+#: w3=block_size(17)|hlen(5)|nch_hdr(4)|mode(2)|variable(1)|valid(1)|
+#:    walk_ok(1),
+#: w4=time_hi(4)|n_parts(7)|sa(9)|bps(6).
+PACKED_WORDS = 5
+
+
+def _unpack_summary(s):
+    """(N, PACKED_WORDS) int32 -> (N, len(SUMMARY_COLS)) int64."""
+    s = np.asarray(s).astype(np.int64)
+    pos, end_byte, lo, w3, w4 = (s[:, k] for k in range(PACKED_WORDS))
+    cols = {
+        "pos": pos, "end_byte": end_byte, "time_lo": lo,
+        "block_size": w3 & 0x1FFFF, "hlen": (w3 >> 17) & 31,
+        "nch_hdr": (w3 >> 22) & 15, "mode": (w3 >> 26) & 3,
+        "variable": (w3 >> 28) & 1, "valid": (w3 >> 29) & 1,
+        "walk_ok": (w3 >> 30) & 1,
+        "time_hi": w4 & 0xF, "n_parts": (w4 >> 4) & 127,
+        "sa": (w4 >> 11) & 511, "bps": (w4 >> 20) & 63,
+    }
+    return np.stack([cols[c] for c in SUMMARY_COLS], axis=1)
 
 #: stream-count padding quantum (compile classes for the per-stream
 #: metadata arrays).
@@ -44,13 +68,23 @@ S_QUANTUM = 8
 _BPS_TABLE = np.array([0, 8, 12, -1, 16, 20, 24, -1], np.int32)
 
 
-def pick_cap(n_bytes):
-    """Candidate capacity class for a group payload: real frames span
-    KBs and random sync mimics are ~2/64Ki byte pairs, so bytes/512
-    overshoots comfortably; the caller re-dispatches with the next class
-    in the rare overflow."""
+def pick_cap(n_bytes, frames_est=None):
+    """Candidate capacity class for a group payload.
+
+    With a frame-count estimate (STREAMINFO total samples / min block
+    size) the capacity is frames + a sync-mimic budget (the 2-byte sync
+    pattern hits ~n/32768 byte positions in random data; x4 margin for
+    FF-heavy audio). ``PendingDemux.resolve`` re-dispatches with the
+    next class on the rare overflow, so a tight cap costs at most one
+    extra dispatch on first encounter, while an oversized one fetches
+    dead summary rows -- and walks dead candidate lanes -- every batch.
+    Without an estimate: bytes/512 (a frame can be ~14 bytes in the
+    degenerate 192-sample 8-bit mono constant case)."""
+    if frames_est is None:
+        est = n_bytes // 512 + 1
+    else:
+        est = frames_est + n_bytes // 8192 + 64
     cap = 256
-    est = n_bytes // 512 + 1
     while cap < est and cap < (1 << 22):
         cap *= 2
     return cap
@@ -143,11 +177,24 @@ def _program(T, nch, cap, S):
 
         np_f = out["n_parts"].reshape(cap, nch).max(axis=1)
         sa_f = out["sa_words"].reshape(cap, nch).max(axis=1)
-        summary = jnp.stack(
-            [positions, (valid & walkable).astype(jnp.int32),
-             walk_ok.astype(jnp.int32), end_bits >> 3, np_f, sa_f,
-             block_size, mode, lo, hi, variable, bps, hlen, nch_hdr],
-            axis=1)
+        # Packed summary (see PACKED_WORDS): fields that only matter for
+        # chained lanes are clamped into their widths -- walk-ok lanes
+        # are in range by construction (n_parts <= 64, sa <= 64,
+        # bps <= 32, hlen <= 16, time <= 36 bits), and not-ok lanes are
+        # never chained.
+        w3 = (jnp.clip(block_size, 0, 0x1FFFF)
+              | (jnp.clip(hlen, 0, 31) << 17)
+              | (jnp.clip(nch_hdr, 0, 15) << 22)
+              | (jnp.clip(mode, 0, 3) << 26)
+              | ((variable & 1) << 28)
+              | ((valid & walkable).astype(jnp.int32) << 29)
+              | (walk_ok.astype(jnp.int32) << 30))
+        w4 = ((hi & 0xF)
+              | (jnp.clip(np_f, 0, 127) << 4)
+              | (jnp.clip(sa_f, 0, 511) << 11)
+              | (jnp.clip(bps, 0, 63) << 20))
+        summary = jnp.stack([positions, end_bits >> 3, lo, w3, w4],
+                            axis=1)
         return stream, tuple(out[k] for k in _WALK_KEYS), summary, count
 
     return jax.jit(prog, static_argnames=("n_bytes",))
@@ -174,18 +221,21 @@ class PendingDemux:
         self._count.copy_to_host_async()
 
     def resolve(self):
-        """(summary (np, count rows), count) -- blocks on the fetch."""
+        """(summary (np, count rows, SUMMARY_COLS layout), count) --
+        blocks on the fetch, unpacks the 5-word device form."""
         while True:
             count = int(np.asarray(self._count))
             if count <= self.cap:
-                return np.asarray(self._summary)[:count], count
+                return _unpack_summary(
+                    np.asarray(self._summary)[:count]), count
             cap = self.cap
             while cap < count:
                 cap *= 2
             self._dispatch(cap)
 
 
-def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps):
+def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps,
+                      frames_est=None):
     """Launch the fused program and START the summary fetch; the caller
     overlaps host/link work with the round trip and calls ``resolve()``."""
     import jax.numpy as jnp
@@ -196,12 +246,15 @@ def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps):
     bps_a = np.ones(S, np.int32)
     bps_a[:len(si_bps)] = si_bps
     return PendingDemux(words_le, n_bytes, T, nch, jnp.asarray(ends),
-                        jnp.asarray(bps_a), pick_cap(n_bytes), S)
+                        jnp.asarray(bps_a), pick_cap(n_bytes, frames_est),
+                        S)
 
 
-def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps):
+def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps,
+                frames_est=None):
     """Synchronous form: dispatch + ONE d2h round trip. Returns
     (stream_be, walk_arrays, summary (np, count rows), count)."""
-    p = fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps)
+    p = fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps,
+                          frames_est)
     summary, count = p.resolve()
     return p.stream, p.walk, summary, count

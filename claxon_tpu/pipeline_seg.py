@@ -275,6 +275,17 @@ def begin_segmented(datas, lane_quantum=None):
         ends_abs = byte_off + np.asarray(sizes, np.int64)
         _mark("buf")
 
+        # Frame-count bound from STREAMINFO (total samples / min block
+        # size) -> a tight candidate capacity; None (unknown totals)
+        # falls back to the conservative bytes/512 estimate.
+        frames_est = 0
+        for i in g_streams:
+            si = sis[i]
+            if not si.samples or not si.min_block_size:
+                frames_est = None
+                break
+            frames_est += -(-si.samples // si.min_block_size) + 2
+
         # ---- ONE upload (raw little-endian words; the device
         # byte-swaps) + ONE fused demux dispatch; the summary fetch is
         # already in flight when this returns.
@@ -282,7 +293,7 @@ def begin_segmented(datas, lane_quantum=None):
         pending.upload_bytes += total_q * 4
         pend = fused_demux_async(
             words_le, total_q * 4, T, nch, ends_abs,
-            [sis[i].bits_per_sample for i in g_streams])
+            [sis[i].bits_per_sample for i in g_streams], frames_est)
         pending.groups.append((T, nch, g_streams, byte_off, ends_abs,
                                sizes, pend))
         _mark("fused")

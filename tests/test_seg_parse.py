@@ -137,3 +137,33 @@ def test_fused_time_raw_large_sample_number():
     t = (cols["time_hi"][hit[0]] << 32) | (cols["time_lo"][hit[0]]
                                            & 0xFFFFFFFF)
     assert int(t) == big
+
+
+def test_cap_overflow_regrows(monkeypatch):
+    """A candidate count past the initial capacity (an understated
+    STREAMINFO frame estimate, a sync-dense payload) must transparently
+    re-dispatch with a larger class and stay bit-exact."""
+    import claxon_tpu.ops.seg_parse as sp
+    from claxon_tpu.pipeline import decode_streams_device
+    from claxon_tpu.pipeline_seg import decode_streams_segmented
+    from claxon_tpu.testing import encode_flac, synth_music
+
+    pcm = synth_music(20000, channels=2, bps=16, seed=11)
+    flac = encode_flac(pcm, 44100, 16, block_size=576)  # ~35 frames
+    want = decode_streams_device([flac], segmentation="host").to_host()
+
+    grown = []
+    orig = sp.pick_cap
+    monkeypatch.setattr(sp, "pick_cap", lambda *a: 8)
+    orig_dispatch = sp.PendingDemux._dispatch
+
+    def spying(self, cap):
+        grown.append(cap)
+        return orig_dispatch(self, cap)
+
+    monkeypatch.setattr(sp.PendingDemux, "_dispatch", spying)
+    dd = decode_streams_segmented([flac])
+    assert getattr(dd, "segmented", False)
+    got = dd.to_host()
+    assert np.array_equal(want[0].pcm, got[0].pcm)
+    assert grown[0] == 8 and len(grown) >= 2 and grown[-1] > 8
