@@ -68,6 +68,20 @@ S_QUANTUM = 8
 _BPS_TABLE = np.array([0, 8, 12, -1, 16, 20, 24, -1], np.int32)
 
 
+#: candidate-capacity ceiling per group. The walk materializes per-lane
+#: descriptor arrays (warm-up, coefficients, Rice parameters: ~600 B per
+#: (candidate, channel) lane), so a sync-saturated payload (0xFFF8
+#: repeated: a candidate every 2 bytes) must not be allowed to regrow the
+#: cap into GBs of walk lanes -- past this ceiling the segmented path
+#: hands the batch to the host walk (DemuxOverflow), which handles such
+#: streams at full speed. 2^18 lanes x 2 ch is ~300 MB of walk arrays.
+MAX_CAP = 1 << 18
+
+
+class DemuxOverflow(Exception):
+    """More sync candidates than MAX_CAP: take the host-walk path."""
+
+
 def pick_cap(n_bytes, frames_est=None):
     """Candidate capacity class for a group payload.
 
@@ -79,13 +93,15 @@ def pick_cap(n_bytes, frames_est=None):
     extra dispatch on first encounter, while an oversized one fetches
     dead summary rows -- and walks dead candidate lanes -- every batch.
     Without an estimate: bytes/512 (a frame can be ~14 bytes in the
-    degenerate 192-sample 8-bit mono constant case)."""
+    degenerate 192-sample 8-bit mono constant case). A lying STREAMINFO
+    cannot inflate the estimate past the physical frame floor
+    (~14 bytes/frame) or MAX_CAP."""
     if frames_est is None:
         est = n_bytes // 512 + 1
     else:
-        est = frames_est + n_bytes // 8192 + 64
+        est = min(frames_est, n_bytes // 14 + 2) + n_bytes // 8192 + 64
     cap = 256
-    while cap < est and cap < (1 << 22):
+    while cap < est and cap < MAX_CAP:
         cap *= 2
     return cap
 
@@ -222,7 +238,8 @@ class PendingDemux:
 
     def resolve(self):
         """(summary (np, count rows, SUMMARY_COLS layout), count) --
-        blocks on the fetch, unpacks the 5-word device form."""
+        blocks on the fetch, unpacks the 5-word device form. Raises
+        DemuxOverflow past MAX_CAP (caller falls back to the host walk)."""
         while True:
             count = int(np.asarray(self._count))
             if count <= self.cap:
@@ -231,6 +248,9 @@ class PendingDemux:
             cap = self.cap
             while cap < count:
                 cap *= 2
+            if cap > MAX_CAP:
+                raise DemuxOverflow(
+                    f"{count} sync candidates > MAX_CAP {MAX_CAP}")
             self._dispatch(cap)
 
 

@@ -324,9 +324,17 @@ def finish_segmented(pending):
     upload_bytes = pending.upload_bytes
     _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
 
+    from .ops.seg_parse import DemuxOverflow
+
     for (T, nch, g_streams, byte_off, ends_abs, sizes, pend) \
             in pending.groups:
-        summary, count = pend.resolve()
+        try:
+            summary, count = pend.resolve()
+        except DemuxOverflow:
+            # Sync-saturated payload: more candidates than the walk may
+            # materialize lanes for. The host walk handles these at full
+            # speed (and reproduces the reference's error behavior).
+            return _fallback()
         stream_dev, walk = pend.stream, pend.walk
 
         cols = {name: summary[:, k].astype(np.int64)
@@ -410,6 +418,14 @@ def finish_segmented(pending):
                 np.searchsorted(_P_CLASSES_V,
                                 np.maximum(cols["n_parts"][g_idx], 1)),
                 len(_P_CLASSES_V) - 1)]
+            # Merge sparse partition classes upward: every class is one
+            # more program dispatch per batch (a link round trip on this
+            # transport) and one more compile class, while padding a few
+            # lanes to a larger n_parts_max only costs device FLOPs.
+            uniq = list(np.unique(pcls))
+            for ci, P in enumerate(uniq[:-1]):
+                if (pcls == P).sum() < 32:
+                    pcls[pcls == P] = uniq[ci + 1]
             for P in np.unique(pcls):
                 sub = g_idx[pcls == P]
                 # Stream-then-position order makes runs contiguous.

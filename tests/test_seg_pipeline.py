@@ -231,3 +231,28 @@ def test_pipelined_corpus_segmented(monkeypatch):
     got = decode_streams_pipelined(datas, batch_streams=2, depth=2)
     for g, w in zip(got, want):
         assert np.array_equal(g.pcm, w)
+
+
+def test_sync_saturated_payload_falls_back():
+    """A payload that is mostly sync patterns (verbatim samples of
+    0xFFF8) would need more candidate lanes than MAX_CAP allows the walk
+    to materialize; the batch must hand off to the host walk (bounded
+    memory -- the DoS guard) and stay bit-exact."""
+    import claxon_tpu.ops.seg_parse as sp
+
+    # Alternate 0x01FF / 0xF801 samples: the big-endian byte stream is
+    # 01 FF F8 01 ... -- an FF F8 sync at every sample pair, and the odd
+    # low bits keep the encoder's wasted-bits transform off.
+    n = sp.MAX_CAP + sp.MAX_CAP // 4
+    pcm = np.zeros((n, 2), np.int32)
+    pcm[0::2] = 0x01FF
+    pcm[1::2] = 0xF801 - 0x10000
+    flac = encode_flac(pcm, 44100, 16, block_size=4096,
+                       force_subframe="verbatim", stereo="independent")
+    b = np.frombuffer(flac, np.uint8)
+    assert ((b[:-1] == 255) & ((b[1:] & 0xFE) == 0xF8)).sum() > sp.MAX_CAP
+    want = _host([flac]).to_host()
+    dd = _seg([flac])
+    assert not getattr(dd, "segmented", False)
+    got = dd.to_host()
+    assert np.array_equal(want[0].pcm, got[0].pcm)

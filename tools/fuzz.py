@@ -169,6 +169,32 @@ def check_bits_walker_differential(data):
         "host CRC mismatch")
 
 
+def check_segmented_differential(data):
+    """The segmented (device-demux) decode must agree with the host-walk
+    device path on outcome AND output for every input. A fallback is
+    always legal (it IS the host path), so the bite is on inputs where
+    the device walk engages: its chain validation + device CRC-16 must
+    reproduce the host path's PCM bit-exactly and its errors verbatim."""
+    from claxon_tpu.pipeline import decode_streams_device
+
+    def outcome(seg):
+        try:
+            res = decode_streams_device([bytes(data)],
+                                        segmentation=seg).to_host()
+            return ("ok", [r.pcm for r in res])
+        except Error as e:
+            return (type(e).__name__, str(e))
+
+    host = outcome("host")
+    segd = outcome("device")
+    if host[0] != segd[0] or (host[0] != "ok" and host[1] != segd[1]):
+        raise AssertionError(
+            f"segmented/host outcome mismatch: {segd[:1]} vs {host[:1]}")
+    if host[0] == "ok":
+        for a, b in zip(host[1], segd[1]):
+            assert np.array_equal(a, b), "segmented/host PCM mismatch"
+
+
 def check_poison_determinism(data, max_blocks=3):
     """The reference's diff fuzzer (`fuzz/fuzzers/diff.rs:27-78`): decoding
     into recycled buffers pre-filled with different markers must be
@@ -238,6 +264,17 @@ def run(seconds=60, seed=0):
                 _extract_section(view[offset:], use_native=True,
                                  max_frames=cnt)
 
+    # The segmented differential runs device programs; pin the CPU
+    # platform so fuzzing never depends on (or waits for) the tunneled
+    # TPU backend. All other targets are host-only.
+    seg_diff = native.available()
+    if seg_diff:
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            seg_diff = False
+
     rng = np.random.default_rng(seed)
     seed_inputs = seeds()
     ogg_seeds, mp4_seeds = container_seeds()
@@ -272,6 +309,8 @@ def run(seconds=60, seed=0):
                 check_poison_determinism(data)
             if kind == 2 and native.available():  # bits-walker differential
                 check_bits_walker_differential(data)
+            if kind == 1 and seg_diff and len(data) < (1 << 20):
+                check_segmented_differential(data)  # device-demux diff
             if native.available():
                 nat = outcome_native(data)
                 pex = outcome_python_extract(data)
