@@ -38,6 +38,33 @@ if os.environ.get("CLAXON_TPU_TEST_REAL_DEVICE", "0").lower() in ("", "0", "fals
 
 REFERENCE_SAMPLES = pathlib.Path("/root/reference/testsamples")
 
+
+def _ensure_map_count_headroom():
+    """XLA:CPU's JIT never unmaps compiled-program mappings, so a cold
+    suite run (hundreds of distinct programs) can exhaust
+    ``vm.max_map_count`` at its 65530 default and segfault inside the
+    compile-cache write (observed 2026-08-18, test_sweep at 93%). The
+    sysctl resets every boot; raise it when we can, warn loudly when we
+    can't."""
+    knob = pathlib.Path("/proc/sys/vm/max_map_count")
+    try:
+        current = int(knob.read_text())
+    except OSError:
+        return
+    if current >= 262144:
+        return
+    try:
+        knob.write_text("1048576\n")
+    except OSError:
+        sys.stderr.write(
+            "WARNING: vm.max_map_count=%d is too low for a cold-cache "
+            "test run and cannot be raised (not root?). A long run may "
+            "segfault in XLA's JIT; run "
+            "`sysctl -w vm.max_map_count=1048576` first.\n" % current)
+
+
+_ensure_map_count_headroom()
+
 import pytest
 
 
