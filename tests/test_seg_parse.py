@@ -17,8 +17,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from claxon_tpu import native
 from claxon_tpu.testing import encode_flac, synth_music
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native core unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not native.available(),
+                                 reason="native core unavailable")]
 
 
 def _group_buffer(datas):

@@ -18,8 +18,9 @@ from claxon_tpu import native
 from claxon_tpu.error import Error
 from claxon_tpu.testing import encode_flac, synth_music
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native core unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not native.available(),
+                                 reason="native core unavailable")]
 
 
 def _seg(datas):

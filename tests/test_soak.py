@@ -25,6 +25,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from claxon_tpu import FlacReader
 from claxon_tpu.testing import encode_flac, pcm_md5, synth_music
 
+pytestmark = pytest.mark.slow
+
 RATE = 8000
 N = 10 * 60 * RATE  # 4.8M inter-channel samples = 10 minutes
 
