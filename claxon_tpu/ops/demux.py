@@ -23,15 +23,25 @@ first partition, codes over the 64-bit parse window, invalid headers --
 come back ``ok=False``; the caller falls back to the host walk for those
 streams, which reproduces the reference's exact error behavior.
 
-Structure: the variable-length subframe headers, LPC parameters and
-warm-up samples are parsed by straight-line masked vector code (a bounded
-number of dependent reads); the residual section is walked by one
-``lax.scan`` over the time axis -- each step advances EVERY lane's bit
-cursor past one Rice code, so a bucket of L frames advances L codes per
-step with no sequential dependence across lanes (the same
-lanes-in-parallel trick as the in-chunk scan, ``ops/entropy.py:209-268``).
+Structure (round-4 rework; the round-3 walk advanced ONE code per lane
+per scan step with whole-stream gathers -- a T-step sequential chain
+that cost ~20x the decode it fed):
+
+* The subframe header is a short dependent chain of masked window reads
+  (3 reads), after which every warm-up sample's and LPC coefficient's
+  bit position is CLOSED-FORM (pos0 + i * width) -- so all 64 of those
+  fields are read in two batched, dependency-free vector passes over one
+  per-lane parameter slab fetched ONCE per subframe.
+* The residual section is walked by a ``lax.scan`` over the NC = T/32
+  chunks; each step fetches one contiguous per-lane slab (the accepted
+  chunk-span cap keeps it static) and advances 32 codes with unrolled
+  in-register window reads -- one-hot selects over the slab, no gathers
+  inside the unrolled body. This is the same local-slab + in-chunk-scan
+  trick as the production entropy kernel (``ops/entropy.py:209-268``),
+  and cuts the sequential gather chain from T to NC steps.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -44,6 +54,16 @@ __all__ = ["walk_frames", "P_CAP"]
 
 #: partition capacity (kPCap in claxon_demux.cpp); more falls back.
 P_CAP = 64
+
+#: parameter-slab words per subframe: header (<= 40 bits) + warm-up
+#: (<= 32 x 32 bits) + LPC precision/shift/coefficients (<= 489 bits) +
+#: residual header (6 bits) + 31 bits alignment < 52 x 32.
+H_WORDS = 52
+
+#: residual-slab words per chunk: 32 codes x <= 64 bits each (the walk
+#: rejects larger codes) + 31 bits alignment + the 64-bit window read at
+#: the last code's start.
+R_WORDS = 68
 
 #: fixed-predictor coefficients as order-aligned LPC rows
 #: (coefs[32-order+k], claxon src/subframe.rs:524-583).
@@ -60,18 +80,43 @@ def _i(x):
     return x.astype(jnp.int32)
 
 
-def _win64(stream, pos):
-    """(hi, lo): the 64 stream bits starting at bit ``pos`` (clipped)."""
+#: slab gather style: "rows" fetches G-word block rows from the stream
+#: reshaped (W/G, G) -- measured 1.8 Gelem/s on a v5e, 16x the
+#: elementwise-take rate (tools/walk_bench.py; vmap(dynamic_slice)
+#: measured SLOWER than take, 39-58 Melem/s, and is not offered).
+#: "take" is the plain elementwise gather, kept for A/B measurement.
+_SLAB_STYLE = os.environ.get("CLAXON_TPU_SLAB_GATHER", "rows")
+
+#: row-gather block size and the worst-case word slack before the
+#: requested word (the slab starts at the enclosing G-word boundary).
+_G = 8
+_SLACK = _G - 1 if _SLAB_STYLE == "rows" else 0
+
+
+def _slab(stream, word0, n):
+    """Per-lane slab of >= n contiguous stream words from ``word0``.
+
+    Returns (slab, base): slab (n + slack, F) word-major with F minor,
+    base (F,) the stream word index of slab row 0 (<= word0, within
+    ``_SLACK`` words). Reads past the stream end return zeros (rows
+    style) or the last word (take style) -- only lanes whose codes
+    overran the stream see them, and those frames never pass the host's
+    chain validation.
+    """
     W = stream.shape[0]
-    wi = jnp.clip(pos >> 5, 0, W - 1)
-    w0 = jnp.take(stream, wi)
-    w1 = jnp.take(stream, jnp.minimum(wi + 1, W - 1))
-    w2 = jnp.take(stream, jnp.minimum(wi + 2, W - 1))
-    off = pos & 31
-    sh = _u(jnp.where(off == 0, 1, 32 - off))
-    hi = _i(_u(w0) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w1) >> sh))
-    lo = _i(_u(w1) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w2) >> sh))
-    return hi, lo
+    if _SLAB_STYLE == "take":
+        base = jnp.clip(word0, 0, W - 1)
+        idx = base[None, :] + jnp.arange(n, dtype=jnp.int32)[:, None]
+        return jnp.take(stream, jnp.clip(idx, 0, W - 1), axis=0), base
+    nr = -(-(n + _SLACK) // _G)
+    wb0 = -(-W // _G)  # block rows covering the stream
+    padded = jnp.pad(stream, (0, (wb0 + nr) * _G - W))
+    sb = padded.reshape(-1, _G)
+    block = jnp.clip(word0 >> 3, 0, wb0)  # past-end lanes read zeros
+    idx = block[None, :] + jnp.arange(nr, dtype=jnp.int32)[:, None]
+    rows = jnp.take(sb, idx, axis=0)        # (nr, F, G)
+    slab = rows.transpose(0, 2, 1).reshape(nr * _G, -1)
+    return slab, block << 3
 
 
 def _bits(hi, n):
@@ -91,6 +136,58 @@ def _unary(hi, lo):
     return jnp.where(hi != 0, _clz32(hi), 32 + _clz32(lo))
 
 
+def _combine(w0, w1, off):
+    """32-bit window at bit offset ``off`` of the (w0, w1) word pair."""
+    sh = _u(jnp.where(off == 0, 1, 32 - off))
+    return _i(_u(w0) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w1) >> sh))
+
+
+def _read64(slab, rel, lim):
+    """(hi, lo): the 64 slab bits starting at bit ``rel``.
+
+    ``lim``: static bound on the word index touched (wi + 2 < lim); the
+    callers derive it from how many bits can precede the read, so the
+    one-hot select only scans the reachable slab prefix.
+    """
+    n = slab.shape[0]
+    lim = min(lim, n)
+    wi = jnp.clip(rel >> 5, 0, n - 1)
+    off = rel & 31
+    zero = jnp.zeros_like(slab[0])
+    w0, w1, w2 = zero, zero, zero
+    for jj in range(lim):
+        s = slab[jj]
+        w0 = jnp.where(wi == jj, s, w0)
+        if jj >= 1:
+            w1 = jnp.where(wi == jj - 1, s, w1)
+        if jj >= 2:
+            w2 = jnp.where(wi == jj - 2, s, w2)
+    hi = _combine(w0, w1, off)
+    lo = _combine(w1, w2, off)
+    return hi, lo
+
+
+def _read_fields32(slab, rel, lim):
+    """Batched 32-bit windows at the (F, K) bit offsets ``rel``.
+
+    All positions are independent (closed-form), so this is one vector
+    pass: a one-hot select of each position's word pair over the slab
+    prefix ``lim``, no sequential dependence.
+    """
+    n = slab.shape[0]
+    lim = min(lim, n)
+    wi = jnp.clip(rel >> 5, 0, n - 1)
+    off = rel & 31
+    zero = jnp.zeros(rel.shape, slab.dtype)
+    w0, w1 = zero, zero
+    for jj in range(lim):
+        s = slab[jj][:, None]
+        w0 = jnp.where(wi == jj, s, w0)
+        if jj >= 1:
+            w1 = jnp.where(wi == jj - 1, s, w1)
+    return _combine(w0, w1, off)
+
+
 def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
     """Parse one subframe per lane starting at bit ``pos``.
 
@@ -103,11 +200,18 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
     zero = jnp.zeros(F, jnp.int32)
     ok = jnp.ones(F, bool)
 
-    # --- subframe header: pad bit, 6-bit type, wasted-bits unary.
-    hi, lo = _win64(stream, pos)
+    # ---- parameter slab: every header/warm-up/coefficient bit of one
+    # subframe lives within H_WORDS of its start (bounds in the constant's
+    # comment), so ONE contiguous fetch serves the whole parse.
+    hslab, hbase = _slab(stream, pos >> 5, H_WORDS)
+    rel = pos - (hbase << 5)  # in [0, 31 + 32 * _SLACK]
+
+    # --- subframe header: pad bit, 6-bit type, wasted-bits flag+unary.
+    hi, _ = _read64(hslab, rel, 4 + _SLACK)
     ok &= _bits(hi, jnp.full(F, 1)) == 0
     ty = _bits(hi, jnp.full(F, 7)) & 63
-    pos = pos + 7
+    wflag = _bits(hi, jnp.full(F, 8)) & 1
+    rel = rel + 8
     is_const = ty == 0
     is_verb = ty == 1
     is_fixed = (ty & 0b111000) == 0b001000
@@ -118,46 +222,46 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
                                 jnp.where(is_lpc, (ty & 31) + 1, 0)))
     ok &= is_const | is_verb | (is_fixed & (f_ord <= 4)) | is_lpc
 
-    hi, lo = _win64(stream, pos)
-    wflag = _bits(hi, jnp.full(F, 1))
-    pos = pos + 1
-    hi, lo = _win64(stream, pos)
+    hi, lo = _read64(hslab, rel, 5 + _SLACK)
     z = _unary(hi, lo)
     wasted = jnp.where(wflag != 0, z + 1, 0)
-    pos = pos + jnp.where(wflag != 0, z + 1, 0)
+    rel = rel + jnp.where(wflag != 0, z + 1, 0)
     ok &= wasted < ch_bps
     sf_bps = ch_bps - wasted
     ok &= sf_bps <= 32
+    sf_r = jnp.clip(sf_bps, 1, 32)  # read width (failed lanes masked)
 
     # --- warm-up samples (constant's value is its single warm-up;
-    # C++ packs constants as order=1, warm[0]=v, coefs[31]=1).
+    # C++ packs constants as order=1, warm[0]=v, coefs[31]=1). Positions
+    # are rel + i*sf_bps -- closed-form, one batched read.
     warm_order = jnp.where(is_verb, 0, jnp.minimum(order, 32))
-    warm_cols = []
-    for i in range(32):
-        act = i < warm_order
-        hi, lo = _win64(stream, pos)
-        v = _sext(_bits(hi, sf_bps), sf_bps)
-        warm_cols.append(jnp.where(act, v, 0))
-        pos = pos + jnp.where(act, sf_bps, 0)
-    warm = jnp.stack(warm_cols, axis=1)
+    i32 = jnp.arange(32, dtype=jnp.int32)[None, :]
+    warm_rel = rel[:, None] + i32 * sf_r[:, None]
+    act_w = i32 < warm_order[:, None]
+    hi_w = _read_fields32(hslab, jnp.where(act_w, warm_rel, 0),
+                          36 + _SLACK)
+    warm = jnp.where(act_w, _sext(_bits(hi_w, sf_r[:, None]),
+                                  sf_r[:, None]), 0)
+    rel = rel + warm_order * sf_r
 
-    # --- LPC parameters.
-    hi, lo = _win64(stream, pos)
-    prec = _bits(hi, jnp.full(F, 4)) + 1
+    # --- LPC parameters: precision, shift, then closed-form coefficient
+    # positions (rel + 9 + i*prec) in one batched read.
+    hi, _ = _read64(hslab, rel, 37 + _SLACK)
+    prec = (_bits(hi, jnp.full(F, 4)) & 15) + 1
     ok &= ~is_lpc | (prec != 16)
-    pos = pos + jnp.where(is_lpc, 4, 0)
-    hi, lo = _win64(stream, pos)
-    shift5 = _sext(_bits(hi, jnp.full(F, 5)), jnp.full(F, 5))
+    shift5 = _sext(_bits(hi, jnp.full(F, 9)) & 31, jnp.full(F, 5))
     ok &= ~is_lpc | (shift5 >= 0)
-    pos = pos + jnp.where(is_lpc, 5, 0)
-    coef_slots = [zero] * 32
-    for i in range(32):
-        act = is_lpc & (i < order)
-        hi, lo = _win64(stream, pos)
-        v = _sext(_bits(hi, jnp.where(act, prec, 1)), prec)
-        coef_slots[31 - i] = jnp.where(act, v, 0)
-        pos = pos + jnp.where(act, prec, 0)
-    coefs = jnp.stack(coef_slots, axis=1)
+    rel = rel + jnp.where(is_lpc, 9, 0)
+    coef_rel = rel[:, None] + i32 * prec[:, None]
+    act_c = is_lpc[:, None] & (i32 < order[:, None])
+    hi_c = _read_fields32(hslab, jnp.where(act_c, coef_rel, 0),
+                          51 + _SLACK)
+    coef_v = jnp.where(act_c, _sext(_bits(hi_c, prec[:, None]),
+                                    prec[:, None]), 0)
+    # The kernels store coefficients order-aligned at the tail (slot
+    # 31 - i for coefficient i).
+    coefs = jnp.flip(coef_v, axis=1)
+    rel = rel + jnp.where(is_lpc, order * prec, 0)
     fixed_c = jnp.take(jnp.asarray(_FIXED_COEFS),
                        jnp.clip(f_ord, 0, 4), axis=0)
     coefs = jnp.where(is_fixed[:, None], fixed_c, coefs)
@@ -166,13 +270,11 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
 
     # --- residual header (fixed/LPC lanes only).
     resd = is_fixed | is_lpc
-    hi, lo = _win64(stream, pos)
+    hi, _ = _read64(hslab, rel, 52 + _SLACK)
     meth = _bits(hi, jnp.full(F, 2))
     ok &= ~resd | (meth <= 1)
-    pos = pos + jnp.where(resd, 2, 0)
-    hi, lo = _win64(stream, pos)
-    po = _bits(hi, jnp.full(F, 4))
-    pos = pos + jnp.where(resd, 4, 0)
+    po = _bits(hi, jnp.full(F, 6)) & 15
+    rel = rel + jnp.where(resd, 6, 0)
     pbits = jnp.where(resd, 4 + meth, 0)
     n_parts = jnp.where(resd, _i(_u(jnp.int32(1)) << _u(po)), 1)
     ok &= ~resd | (n_parts <= P_CAP)
@@ -183,54 +285,76 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
     # is a kernel cap -- both leave the device path.
     ok &= ~resd | (order < jnp.maximum(ps, 1))
 
+    pos = (hbase << 5) + rel
+
     # --- verbatim: uniform layout, no walk needed.
     verb_base0 = pos
-    pos = pos + jnp.where(is_verb, bs * sf_bps, 0)
+    pos = pos + jnp.where(is_verb, bs * sf_r, 0)
 
-    # --- the residual walk: one code per lane per step.
+    # --- the residual walk: scan over chunks; each step fetches one
+    # per-lane slab and advances 32 codes in-register. The walk only
+    # tracks POSITIONS (quotient length + parameter width), never values,
+    # so each code is one 64-bit window read + clz.
     ps_s = jnp.maximum(ps, 1)
     resd_l = resd & ok
+    order_l = order
+    bs_l = bs
 
-    def step(carry, t):
-        cur, k, nb = carry
-        active = resd_l & (t >= order) & (t < bs)
-        first = active & (t == nb)
-        base_emit = cur
-        hi, lo = _win64(stream, cur)
-        kr = _bits(hi, jnp.where(first, pbits, 1))
-        escape = first & (kr == (_i(_u(jnp.int32(1)) << _u(pbits)) - 1))
-        k_new = jnp.where(first, kr, k)
-        cur2 = cur + jnp.where(first, pbits, 0)
-        hi2, lo2 = _win64(stream, cur2)
-        z = _unary(hi2, lo2)
-        # Mirror the C++ cap: q + 1 + k (+ param bits on a partition's
-        # first code) must fit the 64-bit parse window.
-        bad = active & (escape |
-                        (z > 63 - k_new - jnp.where(first, pbits, 0)))
-        adv = z + 1 + k_new
-        cur = jnp.where(active, cur2 + adv, cur)
-        nb = jnp.where(first, jnp.where(t == order, ps_s, t + ps_s), nb)
-        return (cur, k_new, nb), (base_emit, k_new, bad)
+    def chunk_step(carry, c):
+        cur, k, nb, bad = carry
+        slab, sb_words = _slab(stream, cur >> 5, R_WORDS)
+        sbase = sb_words << 5
+        emit_base = cur
+        ks8 = []
+        for j in range(32):
+            t = c * 32 + j
+            active = resd_l & (t >= order_l) & (t < bs_l)
+            first = active & (t == nb)
+            # Accepted codes are <= 64 bits (incl. the parameter on a
+            # partition's first code), so after j codes the window
+            # touches slab words < 2j + 5.
+            hi, lo = _read64(slab, cur - sbase, 2 * j + 5 + _SLACK)
+            kr = _bits(hi, jnp.where(first, pbits, 1))
+            escape = first & (kr == (_i(_u(jnp.int32(1)) << _u(pbits)) - 1))
+            k_new = jnp.where(first, kr, k)
+            sh = jnp.where(first, pbits, 0)
+            # Skip the parameter bits in-register instead of re-reading.
+            hi2 = _i(_u(hi) << _u(sh)) | jnp.where(
+                sh == 0, 0,
+                _i(_u(lo) >> _u(jnp.where(sh == 0, 1, 32 - sh))))
+            lo2 = _i(_u(lo) << _u(sh))
+            z = _unary(hi2, lo2)
+            # Mirror the C++ cap: q + 1 + k (+ param bits on a
+            # partition's first code) must fit the 64-bit parse window.
+            bad = bad | (active & (escape | (z > 63 - k_new - sh)))
+            cur = jnp.where(active, cur + sh + z + 1 + k_new, cur)
+            k = k_new
+            nb = jnp.where(first,
+                           jnp.where(t == order_l, ps_s, t + ps_s), nb)
+            ks8.append(k_new.astype(jnp.int8))
+        return (cur, k, nb, bad), (emit_base, jnp.stack(ks8, axis=0))
 
     nb0 = jnp.where(order > 0, order, 0)
-    (end_res, _, _), (base_t, k_t, bad_t) = jax.lax.scan(
-        step, (pos, zero, nb0), jnp.arange(T, dtype=jnp.int32))
-    ok &= ~bad_t.any(axis=0)
+    (end_res, _, _, bad), (base_c, k_c) = jax.lax.scan(
+        chunk_step, (pos, zero, nb0, jnp.zeros(F, bool)),
+        jnp.arange(NC, dtype=jnp.int32))
+    ok &= ~bad
 
     # Chunk bases: the cursor before the first code of each chunk
-    # (pre-Rice-parameter, matching the C++ walker's ensure_chunk).
+    # (pre-Rice-parameter, matching the C++ walker's ensure_chunk) --
+    # exactly the scan carry at each chunk step's start.
+    bases = base_c.T  # (F, NC)
     c32 = jnp.arange(NC, dtype=jnp.int32)[None, :] * 32
-    t_c = jnp.clip(jnp.maximum(c32, order[:, None]), 0, T - 1)
-    bases = jnp.take_along_axis(base_t.T, t_c, axis=1)
-    vb = verb_base0[:, None] + c32 * sf_bps[:, None]
+    vb = verb_base0[:, None] + c32 * sf_r[:, None]
     bases = jnp.where(is_verb[:, None], vb, bases)
 
     # Per-partition Rice parameters: k as read at each partition's first
-    # code (column p of the scan's k emission).
+    # code (position t_p of the per-code k emission).
+    k_flat = _i(k_c.transpose(2, 0, 1).reshape(F, T))
     p_arr = jnp.arange(P_CAP, dtype=jnp.int32)[None, :]
     t_p = jnp.clip(jnp.where(p_arr == 0, order[:, None],
                              p_arr * ps_s[:, None]), 0, T - 1)
-    ks = jnp.take_along_axis(k_t.T, t_p, axis=1)
+    ks = jnp.take_along_axis(k_flat, t_p, axis=1)
     ks = jnp.where(p_arr < n_parts[:, None], ks, 0)
     ks = jnp.where(is_verb[:, None] & (p_arr == 0), sf_bps[:, None], ks)
     ks = jnp.where(is_const[:, None], 0, ks)
