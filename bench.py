@@ -122,25 +122,26 @@ def verify_corpus(datas):
 
 
 def time_to_device(decode_async, datas, total_samples,
-                   seconds, max_reps=200):
+                   seconds, max_reps=200, depth=3):
     """Sustained decode-to-HBM rate: dispatch batches back to back with a
-    depth-1 begin/finish overlap (the production async API -- on the
-    segmented path batch n's demux round trip hides behind batch n+1's
-    upload), closed by one dependent flag fetch (the only d2h of the
-    phase, inside the timed window)."""
+    depth-3 begin/finish overlap (the production async API -- on the
+    segmented path batch n's demux round trip hides behind the next
+    ``depth`` batches' host work + uploads, mirroring the depth-3 d2h
+    fetch pipeline), closed by one dependent flag fetch (the only d2h of
+    the phase, inside the timed window)."""
     reps = 0
-    pending = None
+    in_flight = []
     last = None
     t0 = time.perf_counter()
     while True:
-        h = decode_async(datas)
-        if pending is not None:
-            last = pending.finish()
-        pending = h
+        in_flight.append(decode_async(datas))
+        if len(in_flight) > depth:
+            last = in_flight.pop(0).finish()
         reps += 1
         if time.perf_counter() - t0 >= seconds or reps >= max_reps:
             break
-    last = pending.finish()
+    for h in in_flight:
+        last = h.finish()
     last.sync()
     elapsed = time.perf_counter() - t0
     return total_samples * reps / elapsed / 1e6, reps
@@ -240,22 +241,24 @@ def main():
     # acks early, so an unfinished warm-up silently bills its compile to
     # the first timed window.
     #
-    # Path choice per corpus: the segmented (device-demux) path when it
-    # actually engages on that corpus (the .segmented marker -- a batch
-    # that falls back mid-flight would otherwise pay its upload twice),
-    # the host-walk bits path otherwise. The JSON records the choice.
+    # Path choice per corpus is the PRODUCTION rule: segmentation="auto"
+    # (pipeline._calibrate_segmentation) warms both paths and times one
+    # sync'd run of each, picking the faster. The headline is whatever
+    # production would run; the JSON records the choice and the losing
+    # path's rate for continuity (VERDICT r3 item 2).
     import jax
-    warm_host = decode_streams_device(datas, segmentation="host").sync()
-    warm_seg = decode_streams_device(datas, segmentation="device")
-    seg_engaged = getattr(warm_seg, "segmented", False)
-    warm_seg.sync()
-    seg_choice = "device" if seg_engaged else "host"
-    warm = warm_seg if seg_engaged else warm_host
+    import claxon_tpu.pipeline as pl
 
-    warm_mixed = decode_streams_device(mixed, segmentation="device")
-    mixed_engaged = getattr(warm_mixed, "segmented", False)
-    mixed_choice = "device" if mixed_engaged else "host"
-    warm_mixed.sync()  # compile warm-up (fallback = host-path warm-up)
+    def calibrated(corpus):
+        pl._SEG_AUTO["choice"] = None
+        dd = decode_streams_device(corpus, segmentation="auto")
+        dd.sync()
+        choice = pl._SEG_AUTO["choice"]  # None = seg path never engaged
+        pl._SEG_AUTO["choice"] = None
+        return choice or "host", choice is not None, dd
+
+    seg_choice, seg_engaged, warm = calibrated(datas)
+    mixed_choice, mixed_engaged, warm_mixed = calibrated(mixed)
 
     tiny_sum = jax.jit(lambda x: x.ravel()[::65536].sum())
     probe = np.zeros(4 * 1024 * 1024, dtype=np.int32)  # 16 MiB
@@ -279,9 +282,6 @@ def main():
     def mixed_async(b):
         return decode_streams_device_async(b, segmentation=mixed_choice)
 
-    def hostwalk_async(b):
-        return decode_streams_device_async(b, segmentation="host")
-
     h2d_probes = [probe_h2d()]
     dev_msamples_s, dev_reps = time_to_device(
         dev_async, datas, total_samples, TO_DEVICE_SECONDS)
@@ -289,11 +289,19 @@ def main():
     mixed_dev_msamples_s, _ = time_to_device(
         mixed_async, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
     h2d_probes.append(probe_h2d())
-    # Continuity figure: the host-walk path under the same methodology
-    # (r01/r02 headline), short window.
-    hostwalk_msamples_s, _ = time_to_device(
-        hostwalk_async, datas, total_samples, TO_DEVICE_SECONDS / 2) \
-        if seg_choice == "device" else (dev_msamples_s, 0)
+    # Continuity figures: BOTH paths are always reported. The losing
+    # path gets a short window under the same methodology; the segmented
+    # figure is 0 when the device demux never engaged on this corpus.
+    other = "host" if seg_choice == "device" else "device"
+    other_msamples_s = 0.0
+    if seg_choice == "device" or seg_engaged:
+        other_msamples_s, _ = time_to_device(
+            lambda b: decode_streams_device_async(b, segmentation=other),
+            datas, total_samples, TO_DEVICE_SECONDS / 2)
+    hostwalk_msamples_s = (other_msamples_s if seg_choice == "device"
+                           else dev_msamples_s)
+    segmented_msamples_s = (dev_msamples_s if seg_choice == "device"
+                            else other_msamples_s)
     phase1_mbps = sorted(h2d_probes)[1]
 
     # ---- Phase 1b: chip decode rate with the compressed corpus resident
@@ -306,6 +314,17 @@ def main():
     resident_msamples_s, resident_reps = time_device_resident(
         pairs, total_samples, TO_DEVICE_SECONDS / 2)
     pairs = None
+    # The segmented path's resident rate (fused demux INCLUDED) is
+    # always reported when it engages -- VERDICT r3 item 1's figure.
+    seg_resident_msamples_s = (resident_msamples_s
+                               if seg_choice == "device" else 0.0)
+    if seg_choice != "device" and seg_engaged:
+        pairs = capture_programs(
+            lambda b: decode_streams_device(b, segmentation="device"),
+            datas)
+        seg_resident_msamples_s, _ = time_device_resident(
+            pairs, total_samples, TO_DEVICE_SECONDS / 4)
+        pairs = None
 
     # ---- Phase 1c: host-CPU cost per decoded sample, host walk vs the
     # segmented (device-demux) path. time.process_time() counts CPU only
@@ -452,9 +471,12 @@ def main():
         "to_device_mixed_path": "segmented" if mixed_choice == "device"
                                 else "hostwalk",
         "to_device_hostwalk_msamples_s": round(hostwalk_msamples_s, 3),
+        "to_device_segmented_msamples_s": round(segmented_msamples_s, 3),
         "link_efficiency": round(eff, 3),
         "link_efficiency_mixed": round(eff_mixed, 3),
         "device_resident_msamples_s": round(resident_msamples_s, 3),
+        "device_resident_segmented_msamples_s":
+            round(seg_resident_msamples_s, 3),
         "device_resident_reps": resident_reps,
         "to_host_p10_msamples_s": round(p10, 3),
         "to_host_p90_msamples_s": round(p90, 3),

@@ -94,16 +94,20 @@ def decode_batch_sharded(batch, mesh=None):
                          lane_quantum=lane_quantum(mesh))
 
 
-def decode_streams_sharded(datas, mesh=None, use_native=True):
+def decode_streams_sharded(datas, mesh=None, use_native=True,
+                           segmentation=None):
     """Decode many FLAC streams with frames sharded across all chips --
     the multi-chip corpus-decode entry point (pure data parallelism; see
     the package docstring).
 
     With the native core this is the full bits pipeline sharded over the
     mesh: on-device entropy decode, async dispatch, int16-packed chunked
-    fetch -- the single-chip path's engineering, lane-sharded. The
-    FrameDesc fallback (no native core) routes through the synchronous
-    FrameDesc packer with the sharded synthesis step.
+    fetch -- the single-chip path's engineering, lane-sharded.
+    ``segmentation="device"`` (or CLAXON_TPU_SEGMENTATION=device) runs
+    the segmented path with its decode programs lane-sharded over the
+    mesh (pipeline_seg; the fused demux program's outputs replicate).
+    The FrameDesc fallback (no native core) routes through the
+    synchronous FrameDesc packer with the sharded synthesis step.
     """
     import os
 
@@ -112,9 +116,15 @@ def decode_streams_sharded(datas, mesh=None, use_native=True):
 
     if mesh is None:
         mesh = make_mesh()
+    if segmentation is None:
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
     if use_native and not os.environ.get("CLAXON_TPU_NO_BITS"):
         native = _native_mod()
         if native is not None:
+            if segmentation == "device":
+                from ..pipeline_seg import decode_streams_segmented
+                return decode_streams_segmented(
+                    datas, mesh=mesh).start_fetch().to_host()
             from ..pipeline_bits import decode_raw_bits_device
 
             braws, mode = extract_streams_bits(datas, native)

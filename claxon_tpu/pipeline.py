@@ -721,6 +721,45 @@ def extract_streams_bits(datas, native):
     return braws, mode
 
 
+#: per-process calibration cache for segmentation="auto":
+#: None = not yet calibrated, else "host" | "device".
+_SEG_AUTO = {"choice": None}
+
+
+def _calibrate_segmentation(datas, use_native, lane_quantum):
+    """Time one sync'd decode of ``datas`` through each segmentation and
+    cache the faster path for the process (VERDICT r3 item 2). Both
+    paths are warmed first so compiles don't bias the measurement; the
+    winner's (already computed) result is returned so the calibration
+    batch is not decoded a fifth time. Either path surfaces the same
+    errors (bit-exact contract), so a failing batch raises here exactly
+    as it would at the first sync."""
+    import time as _time
+
+    d_seg = decode_streams_device(datas, use_native, lane_quantum,
+                                  "device")
+    if not getattr(d_seg, "segmented", False):
+        # The device-demux path cannot engage on this shape at all;
+        # don't burn calibration runs (and don't cache: a later corpus
+        # may engage).
+        return "host", d_seg
+    d_seg.sync()
+    decode_streams_device(datas, use_native, lane_quantum, "host").sync()
+    t0 = _time.perf_counter()
+    d_seg = decode_streams_device(datas, use_native, lane_quantum,
+                                  "device")
+    d_seg.sync()
+    t_dev = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    d_host = decode_streams_device(datas, use_native, lane_quantum,
+                                   "host")
+    d_host.sync()
+    t_host = _time.perf_counter() - t0
+    choice = "device" if t_dev < t_host else "host"
+    _SEG_AUTO["choice"] = choice
+    return choice, (d_seg if choice == "device" else d_host)
+
+
 def decode_streams_device(datas, use_native=True,
                           lane_quantum=_L_QUANTUM,
                           segmentation=None) -> DeviceDecoded:
@@ -733,12 +772,23 @@ def decode_streams_device(datas, use_native=True,
     sample-shipping path. ``segmentation="device"`` (or
     CLAXON_TPU_SEGMENTATION=device) also moves frame segmentation and
     subframe demux onto the chip (pipeline_seg; the host stops walking
-    payload bytes entirely). All paths are bit-exact.
+    payload bytes entirely). ``segmentation="auto"`` measures both paths
+    on the first batch that engages the device demux and uses the faster
+    one for the rest of the process. All paths are bit-exact.
     """
     import os
 
     if segmentation is None:
         segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+    if segmentation == "auto":
+        segmentation = _SEG_AUTO["choice"]
+        if segmentation is None:
+            if (use_native and _native_mod() is not None
+                    and not os.environ.get("CLAXON_TPU_NO_BITS")):
+                _choice, dd = _calibrate_segmentation(
+                    datas, use_native, lane_quantum)
+                return dd
+            segmentation = "host"
     if use_native:
         native = _native_mod()
         if native is not None:
@@ -788,6 +838,14 @@ def decode_streams_device_async(datas, use_native=True,
 
     if segmentation is None:
         segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+    if segmentation == "auto":
+        segmentation = _SEG_AUTO["choice"]
+        if segmentation is None:
+            # First auto batch: calibrate synchronously (the begin/finish
+            # overlap only matters once a steady path is chosen).
+            dd = decode_streams_device(datas, use_native, lane_quantum,
+                                       "auto")
+            return _PendingDeviceBatch(lambda: dd)
     if (use_native and segmentation == "device"
             and not os.environ.get("CLAXON_TPU_NO_BITS")
             and _native_mod() is not None):

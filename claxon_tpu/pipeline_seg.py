@@ -18,9 +18,10 @@ Validation model: candidate chaining. A candidate is a REAL frame start
 iff it is the frame-section start or the byte just after a previous real
 frame's CRC-16. The walk returns each candidate's end, so the host chains
 ends -> next starts; a break in the chain, a non-ok walk lane, or
-incomplete coverage sends the WHOLE batch to the host-walk path
+incomplete coverage sends THAT STREAM to the host-walk path
 (``pipeline.extract_streams_bits``), which reproduces the reference's
-exact error wording and ordering. Frame CRC-16s of chained frames are
+exact error wording and ordering; the rest of the batch stays on the
+device path and the results merge. Frame CRC-16s of chained frames are
 verified by the existing device verifier, so a payload byte that mimics
 a valid header (sync + plausible fields + matching CRC-8) can still
 never corrupt output: it either loses the chain race or fails CRC-16.
@@ -139,18 +140,27 @@ _WALK_KEYS = ("order", "shift", "wasted", "ps", "pbits", "flags", "warm",
 
 
 @lru_cache(maxsize=None)
-def _seg_decode_program(P, SA, out_packed):
+def _seg_decode_program(P, SA, out_packed, mesh=None):
     """The segmented-path decode program: gather the chained lanes from
     the walk outputs, then the production entropy decode -> synthesis ->
     epilogue -> transfer packing. All big inputs are already on device
     (walk outputs + the byte-swapped stream); only the tiny (L, 3) plan
-    array [row, length, mode] crosses the link."""
+    array [row, length, mode] crosses the link.
+
+    Under a ``mesh`` the plan's lane axis shards over LANE_AXIS and the
+    stream + walk descriptor arrays replicate (frames are independent,
+    reference `src/frame.rs:667-779`): every lane's gathers hit
+    replicated operands, so the compiled program stays collective-free
+    exactly like the sharded bits program (`pipeline_bits._jit_bucket_
+    program`)."""
     import jax
 
     from .ops.entropy import decode_residual_bits_stream
     from .ops.epilogue import apply_epilogue, pack_int16_pairs
     from .ops.predict import synthesize_best
     from .pipeline import _split_lanes, _FETCH_CHUNKS
+
+    n_chunks = _FETCH_CHUNKS if mesh is None else 1
 
     def prog(stream, order, shift, wasted, ps, pbits, flags, warm, coefs,
              ks, bases, plan):
@@ -166,11 +176,18 @@ def _seg_decode_program(P, SA, out_packed):
         out = synthesize_best(x, g(coefs), g(shift), g(order), lengths)
         out = apply_epilogue(out, g(wasted), pair_modes)
         if out_packed:
-            packed, flag = pack_int16_pairs(out)
-            return out, flag, _split_lanes(packed, _FETCH_CHUNKS)
-        return out, _split_lanes(out, _FETCH_CHUNKS)
+            packed, flag = pack_int16_pairs(out, per_lane=mesh is not None)
+            return out, flag, _split_lanes(packed, n_chunks)
+        return out, _split_lanes(out, n_chunks)
 
-    return jax.jit(prog)
+    if mesh is None:
+        return jax.jit(prog)
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.mesh import LANE_AXIS
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
+    return jax.jit(prog, in_shardings=(repl,) * 11 + (lanes,))
 
 
 class _SegPending:
@@ -179,22 +196,31 @@ class _SegPending:
     ``decode_streams_segmented``) turns it into a ``DeviceDecoded``."""
 
     __slots__ = ("datas", "lane_quantum", "sis", "groups", "upload_bytes",
-                 "marks", "mark")
+                 "marks", "mark", "mesh")
 
-    def __init__(self, datas, lane_quantum):
+    def __init__(self, datas, lane_quantum, mesh=None):
         self.datas = datas
         self.lane_quantum = lane_quantum
+        self.mesh = mesh
         self.groups = []
         self.upload_bytes = 0
 
 
-def _host_fallback(datas, lane_quantum):
+def _host_fallback(datas, lane_quantum, mesh=None):
     from .pipeline import decode_streams_device
+    if mesh is not None:
+        from .pipeline import extract_streams_bits, _native_mod
+        native = _native_mod()
+        if native is not None:
+            from .pipeline_bits import decode_raw_bits_device
+            braws, mode = extract_streams_bits(datas, native)
+            return decode_raw_bits_device(braws, lane_quantum, mode,
+                                          mesh=mesh)
     return decode_streams_device(datas, lane_quantum=lane_quantum,
                                  segmentation="host")
 
 
-def begin_segmented(datas, lane_quantum=None):
+def begin_segmented(datas, lane_quantum=None, mesh=None):
     """Stage 1 of the segmented decode: metadata parse, stream grouping,
     and -- per group -- ONE upload, ONE fused demux dispatch, and an
     async summary-fetch start. Returns a ``_SegPending`` for
@@ -215,12 +241,16 @@ def begin_segmented(datas, lane_quantum=None):
 
     jnp = _jnp()
     if lane_quantum is None:
-        lane_quantum = _L_QUANTUM
+        if mesh is not None:
+            from .parallel.mesh import lane_quantum as _mesh_lq
+            lane_quantum = _mesh_lq(mesh)
+        else:
+            lane_quantum = _L_QUANTUM
 
     # CLAXON_TPU_SEG_DEBUG=1: per-stage host-CPU accounting (diagnostic).
     import os
     import time as _time
-    pending = _SegPending(datas, lane_quantum)
+    pending = _SegPending(datas, lane_quantum, mesh)
     if os.environ.get("CLAXON_TPU_SEG_DEBUG"):
         pending.marks = [("start", _time.process_time())]
         pending.mark = lambda label: pending.marks.append(
@@ -312,15 +342,27 @@ def finish_segmented(pending):
     jnp = _jnp()
     datas = pending.datas
     lane_quantum = pending.lane_quantum
+    mesh = pending.mesh
     sis = pending.sis
     _mark = pending.mark
-
-    def _fallback():
-        return _host_fallback(datas, lane_quantum)
+    if mesh is not None:
+        # Replicate the demux outputs over the mesh once per group; the
+        # decode programs' in_shardings expect replicated operands and a
+        # committed single-device array would otherwise be rejected.
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        _repl = NamedSharding(mesh, PartitionSpec())
+        _replicate = lambda x: jax.device_put(x, _repl)
+    else:
+        _replicate = lambda x: x
 
     results = [None] * len(datas)
     pcms = [None] * len(datas)
     dispatches, plans, crc_pairs = [], [], []
+    #: global stream indices that leave the device path (chain break,
+    #: walk-rejected frame, demux overflow); host-walked at the end and
+    #: merged back, so ONE odd stream no longer re-uploads the batch.
+    fb_streams = []
     upload_bytes = pending.upload_bytes
     _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
 
@@ -332,10 +374,13 @@ def finish_segmented(pending):
             summary, count = pend.resolve()
         except DemuxOverflow:
             # Sync-saturated payload: more candidates than the walk may
-            # materialize lanes for. The host walk handles these at full
-            # speed (and reproduces the reference's error behavior).
-            return _fallback()
-        stream_dev, walk = pend.stream, pend.walk
+            # materialize lanes for. The overflow is a property of the
+            # group's shared buffer (no per-stream attribution), so the
+            # whole GROUP host-walks; other groups stay on device.
+            fb_streams.extend(g_streams)
+            continue
+        stream_dev = _replicate(pend.stream)
+        walk = tuple(_replicate(w) for w in pend.walk)
 
         cols = {name: summary[:, k].astype(np.int64)
                 for k, name in enumerate(SUMMARY_COLS)}
@@ -351,14 +396,24 @@ def finish_segmented(pending):
 
         # ---- chain per stream: ends -> next starts; must tile the
         # payload. Fast path: no false positives -- every candidate
-        # links to the next.
+        # links to the next. A break sends THAT stream (only) to the
+        # host walk, which reproduces the reference's exact errors.
         chains = []
+        fb_local = set()
+        empty = np.zeros(0, np.int64)
+
+        def _fb_stream(k):
+            fb_local.add(k)
+            fb_streams.append(g_streams[k])
+            chains.append(empty)
+
         for k, size in enumerate(sizes):
             idx = np.flatnonzero(c_si == k)
             if idx.size == 0:
                 if size != 0:
-                    return _fallback()
-                chains.append(idx)
+                    _fb_stream(k)
+                else:
+                    chains.append(idx)
                 continue
             local = cpos[idx] - byte_off[k]
             nxt = end_byte[idx] - byte_off[k] + 2
@@ -382,7 +437,8 @@ def finish_segmented(pending):
                     break
                 exp = nxt1
             if not good or exp != size:
-                return _fallback()
+                _fb_stream(k)
+                continue
             chains.append(np.asarray(chain, np.int64))
         _mark("chains")
 
@@ -391,6 +447,8 @@ def finish_segmented(pending):
         chained_mask = np.zeros(count, bool)
         crc_starts, crc_ends = [], []
         for k, chain in enumerate(chains):
+            if k in fb_local:
+                continue  # host-walked below
             si = sis[g_streams[k]]
             bs_v = bs_c[chain]
             total = int(bs_v.sum()) if chain.size else 0
@@ -453,7 +511,7 @@ def finish_segmented(pending):
                         for st, en in zip(starts_r, ends_r)]
                 out_packed = (_LITTLE_ENDIAN and Tb % 2 == 0
                               and int(cols["bps"][sub].max()) <= 16)
-                prog = _seg_decode_program(int(P), SA, out_packed)
+                prog = _seg_decode_program(int(P), SA, out_packed, mesh)
                 args = walk + (jnp.asarray(plan_arr),)
                 upload_bytes += plan_arr.nbytes
                 if out_packed:
@@ -470,19 +528,44 @@ def finish_segmented(pending):
             starts = np.concatenate(crc_starts).astype(np.int32)
             ends_a = np.concatenate(crc_ends).astype(np.int32)
             n = len(starts)
-            fq = 8
+            fq = 8 if mesh is None else max(8, int(mesh.devices.size))
             while fq < n:
                 fq *= 2
             se = np.stack([np.pad(starts, (0, fq - n)),
                            np.pad(ends_a, (0, fq - n))])
-            vals = _crc_program(None)(stream_dev, jnp.asarray(se))
+            vals = _crc_program(mesh)(stream_dev, jnp.asarray(se))
             crc_pairs.append((vals, n))
             upload_bytes += se.nbytes
         _mark("dispatch")
 
+    # ---- per-stream host fallback: decode only the streams that left
+    # the device path (reference-exact error behavior lives there) and
+    # graft their buckets/plans/CRC verdicts into this batch. Both paths
+    # build the same _raw_plans form, so the merge is a stream-index
+    # remap. (VERDICT r3 item 3: one odd stream in a 16-stream batch
+    # must not re-upload the other 15.)
+    if fb_streams:
+        fb_streams = sorted(set(fb_streams))
+        fb_dd = _host_fallback([datas[i] for i in fb_streams], lane_quantum,
+                               mesh)
+        fb_plans, fb_pcms = fb_dd._raw_plans
+        for j, i in enumerate(fb_streams):
+            results[i] = fb_dd.results[j]
+            pcms[i] = fb_pcms[j]
+        for plan in fb_plans:
+            plans.append([(fb_streams[r[0]],) + tuple(r[1:])
+                          for r in plan])
+        dispatches.extend(fb_dd.dispatches)
+        cc = fb_dd.crc_check
+        if cc is not None:
+            crc_pairs.extend(cc if isinstance(cc, list) else [cc])
+        upload_bytes += getattr(fb_dd, "upload_bytes", 0)
+
     dd = DeviceDecoded(results, [], [], dispatches)
     dd._raw_plans = (plans, pcms)
-    dd.segmented = True  # marker: the device-demux path really engaged
+    # marker: the device-demux path really engaged (for >= 1 stream).
+    dd.segmented = len(fb_streams) < len(datas)
+    dd.fallback_streams = list(fb_streams)
     if crc_pairs:
         dd.crc_check = crc_pairs
     dd.upload_bytes = upload_bytes
@@ -493,23 +576,26 @@ def finish_segmented(pending):
     return dd
 
 
-def decode_streams_segmented(datas, lane_quantum=None):
+def decode_streams_segmented(datas, lane_quantum=None, mesh=None):
     """Decode FLAC streams with on-device segmentation + demux.
 
     Drop-in sibling of ``pipeline.decode_streams_device`` (returns a
-    ``DeviceDecoded``); the host never walks payload bytes. When any
+    ``DeviceDecoded``); the host never walks payload bytes. When a
     stream cannot ride the device-demux path -- a walk-rejected frame
-    (escaped partitions, > 64 partitions, oversized codes...), a chain
-    break, > 2 channels, an oversized batch -- the WHOLE batch falls back
-    to the host-walk bits pipeline, which reproduces the reference's
-    exact error behavior. (Fallbacks are per-batch for simplicity; the
-    host path is itself bit-exact, so this only affects speed.)
+    (escaped partitions, > 64 partitions, oversized codes...) or a chain
+    break -- only THAT stream falls back to the host-walk bits pipeline
+    (reference-exact error behavior) and its results merge back into the
+    batch; a sync-saturated group (DemuxOverflow) falls back as a group,
+    and batch-shape limits (> 2 channels anywhere, oversized batch)
+    route the whole batch before any upload. All paths are bit-exact.
 
     Overlapping callers use ``begin_segmented``/``finish_segmented``
     directly (`pipeline.decode_streams_device_async`) so the summary
-    round trip hides behind the next batch's work.
+    round trip hides behind the next batch's work. ``mesh``: a 1-D
+    jax.sharding.Mesh lane-shards the decode programs over the chips
+    (collective-free; the fused demux program replicates its outputs).
     """
-    pending = begin_segmented(datas, lane_quantum)
+    pending = begin_segmented(datas, lane_quantum, mesh)
     if pending is None:
-        return _host_fallback(datas, lane_quantum)
+        return _host_fallback(datas, lane_quantum, mesh)
     return finish_segmented(pending)

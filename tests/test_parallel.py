@@ -171,3 +171,47 @@ def test_decode_streams_sharded():
     assert len(sharded) == len(single) == len(datas)
     for a, b in zip(sharded, single):
         assert np.array_equal(a.pcm, b.pcm)
+
+
+@needs_8
+@pytest.mark.slow
+def test_decode_streams_sharded_segmented():
+    """The segmented (device-demux) path lane-sharded over the 8-device
+    mesh: must engage, stay bit-exact with the single-device path, and
+    compile collective-free (VERDICT r3 item 4)."""
+    import claxon_tpu.pipeline_seg as pseg
+    from claxon_tpu import native
+    from claxon_tpu.pipeline import decode_streams
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+
+    datas = [encode_flac(synth_music(5000, channels=2, bps=16, seed=s),
+                         44100, 16, block_size=1024) for s in (34, 35, 36)]
+    captured = {}
+    orig = pseg._seg_decode_program
+
+    def capture(*key, **kw):
+        prog = orig(*key, **kw)
+
+        def wrapped(*args):
+            captured.setdefault("pa", (prog, args))
+            return prog(*args)
+
+        return wrapped
+
+    pseg._seg_decode_program = capture
+    try:
+        dd = pseg.decode_streams_segmented(datas, mesh=make_mesh(8))
+        sharded = dd.to_host()
+    finally:
+        pseg._seg_decode_program = orig
+    assert getattr(dd, "segmented", False)
+    single = decode_streams(datas)
+    for a, b in zip(sharded, single):
+        assert np.array_equal(a.pcm, b.pcm)
+    prog, pargs = captured["pa"]
+    hlo = prog.lower(*pargs).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, op
