@@ -19,9 +19,10 @@ The parse grammar mirrors the reference scalar decoder exactly (claxon
 ``claxon_tpu/subframe.py`` and the C++ walker ``parse_subframe_bits`` in
 ``native/src/claxon_demux.cpp``). Lanes whose frames the device kernels
 cannot represent -- escaped Rice partitions, > 64 partitions, an empty
-first partition, codes over the 64-bit parse window, invalid headers --
-come back ``ok=False``; the caller falls back to the host walk for those
-streams, which reproduces the reference's exact error behavior.
+first partition, codes over the walk's 32-bit parse window, invalid
+headers -- come back ``ok=False``; the caller falls back to the host
+walk for those streams, which reproduces the reference's exact error
+behavior.
 
 Structure (round-4 rework; the round-3 walk advanced ONE code per lane
 per scan step with whole-stream gathers -- a T-step sequential chain
@@ -35,10 +36,20 @@ that cost ~20x the decode it fed):
 * The residual section is walked by a ``lax.scan`` over the NC = T/32
   chunks; each step fetches one contiguous per-lane slab (the accepted
   chunk-span cap keeps it static) and advances 32 codes with unrolled
-  in-register window reads -- one-hot selects over the slab, no gathers
-  inside the unrolled body. This is the same local-slab + in-chunk-scan
+  in-register window reads. This is the same local-slab + in-chunk-scan
   trick as the production entropy kernel (``ops/entropy.py:209-268``),
   and cuts the sequential gather chain from T to NC steps.
+* Within a chunk the window is a two-word SHIFT REGISTER: codes are
+  capped at 32 bits (measured: the cap halves the walk's op count --
+  advancing by <= 32 bits moves the word cursor by <= 1, so each code
+  costs one register shift plus ONE one-hot slab refill, instead of
+  re-selecting a 3-word window from the slab per code). Frames with a
+  longer code -- or whose partition parameter pushes one past 32 bits --
+  come back ``ok=False`` and take the host walk, which decodes them at
+  full speed with the 64-bit C++ window (its cap: ``max_q`` in
+  ``claxon_demux.cpp`` ``scan_residual_bits``). The device ``ok`` set is
+  therefore a SUBSET of the native walker's bits-path set; every
+  descriptor on an ok lane still matches the C++ walker exactly.
 """
 
 import os
@@ -60,10 +71,11 @@ P_CAP = 64
 #: residual header (6 bits) + 31 bits alignment < 52 x 32.
 H_WORDS = 52
 
-#: residual-slab words per chunk: 32 codes x <= 64 bits each (the walk
-#: rejects larger codes) + 31 bits alignment + the 64-bit window read at
-#: the last code's start.
-R_WORDS = 68
+#: residual-slab words per chunk: 32 codes x <= 32 bits each (the walk
+#: rejects larger codes; see module docstring) + the slab-alignment slack
+#: (<= 31 bits + 7 words of row alignment = 8 words) + a 2-word lookahead
+#: for the shift-register window.
+R_WORDS = 42
 
 #: fixed-predictor coefficients as order-aligned LPC rows
 #: (coefs[32-order+k], claxon src/subframe.rs:524-583).
@@ -93,25 +105,41 @@ _G = 8
 _SLACK = _G - 1 if _SLAB_STYLE == "rows" else 0
 
 
-def _slab(stream, word0, n):
+#: maximum block rows any _slab call needs (sizes the shared padding).
+_NR_MAX = -(-(max(H_WORDS, R_WORDS) + _G - 1) // _G)
+
+
+def _blocked(stream):
+    """(sb, wb0): the stream padded + reshaped to (rows, _G) block rows.
+
+    Computed ONCE per walk and threaded into every slab fetch: built
+    inside the chunk scan, XLA re-pads the whole stream EVERY step
+    (measured 406 us/step vs 71 with the pad hoisted -- the fixed cost
+    that dominated the round-3 walk; tools/scan_skeleton_bench2.py).
+    """
+    W = stream.shape[0]
+    wb0 = -(-W // _G)
+    padded = jnp.pad(stream, (0, (wb0 + _NR_MAX) * _G - W))
+    return padded.reshape(-1, _G), wb0
+
+
+def _slab(src, word0, n):
     """Per-lane slab of >= n contiguous stream words from ``word0``.
 
-    Returns (slab, base): slab (n + slack, F) word-major with F minor,
-    base (F,) the stream word index of slab row 0 (<= word0, within
-    ``_SLACK`` words). Reads past the stream end return zeros (rows
-    style) or the last word (take style) -- only lanes whose codes
-    overran the stream see them, and those frames never pass the host's
-    chain validation.
+    ``src``: (stream, sb, wb0) from ``_blocked``. Returns (slab, base):
+    slab (n + slack, F) word-major with F minor, base (F,) the stream
+    word index of slab row 0 (<= word0, within ``_SLACK`` words). Reads
+    past the stream end return zeros (rows style) or the last word
+    (take style) -- only lanes whose codes overran the stream see them,
+    and those frames never pass the host's chain validation.
     """
+    stream, sb, wb0 = src
     W = stream.shape[0]
     if _SLAB_STYLE == "take":
         base = jnp.clip(word0, 0, W - 1)
         idx = base[None, :] + jnp.arange(n, dtype=jnp.int32)[:, None]
         return jnp.take(stream, jnp.clip(idx, 0, W - 1), axis=0), base
     nr = -(-(n + _SLACK) // _G)
-    wb0 = -(-W // _G)  # block rows covering the stream
-    padded = jnp.pad(stream, (0, (wb0 + nr) * _G - W))
-    sb = padded.reshape(-1, _G)
     block = jnp.clip(word0 >> 3, 0, wb0)  # past-end lanes read zeros
     idx = block[None, :] + jnp.arange(nr, dtype=jnp.int32)[:, None]
     rows = jnp.take(sb, idx, axis=0)        # (nr, F, G)
@@ -142,6 +170,21 @@ def _combine(w0, w1, off):
     return _i(_u(w0) << _u(off)) | jnp.where(off == 0, 0, _i(_u(w1) >> sh))
 
 
+def _sel_row(slab, wi, lo, hi):
+    """slab[wi] per lane, one-hot over the static row range [lo, hi).
+
+    Written as a masked SUM, not a sequential where-chain: exactly one
+    row matches, and the sum reduces in log depth -- the walk is
+    latency-bound on its per-code dependency chain, so select depth is
+    what the whole kernel's wall clock scales with.
+    """
+    hi = min(hi, slab.shape[0])
+    lo = max(lo, 0)
+    rows = jnp.arange(lo, hi, dtype=jnp.int32)
+    m = wi[None, :] == rows[:, None]
+    return jnp.where(m, slab[lo:hi], 0).sum(axis=0)
+
+
 def _read64(slab, rel, lim):
     """(hi, lo): the 64 slab bits starting at bit ``rel``.
 
@@ -153,15 +196,9 @@ def _read64(slab, rel, lim):
     lim = min(lim, n)
     wi = jnp.clip(rel >> 5, 0, n - 1)
     off = rel & 31
-    zero = jnp.zeros_like(slab[0])
-    w0, w1, w2 = zero, zero, zero
-    for jj in range(lim):
-        s = slab[jj]
-        w0 = jnp.where(wi == jj, s, w0)
-        if jj >= 1:
-            w1 = jnp.where(wi == jj - 1, s, w1)
-        if jj >= 2:
-            w2 = jnp.where(wi == jj - 2, s, w2)
+    w0 = _sel_row(slab, wi, 0, lim)
+    w1 = _sel_row(slab, wi + 1, 1, lim + 1)
+    w2 = _sel_row(slab, wi + 2, 2, lim + 2)
     hi = _combine(w0, w1, off)
     lo = _combine(w1, w2, off)
     return hi, lo
@@ -178,17 +215,14 @@ def _read_fields32(slab, rel, lim):
     lim = min(lim, n)
     wi = jnp.clip(rel >> 5, 0, n - 1)
     off = rel & 31
-    zero = jnp.zeros(rel.shape, slab.dtype)
-    w0, w1 = zero, zero
-    for jj in range(lim):
-        s = slab[jj][:, None]
-        w0 = jnp.where(wi == jj, s, w0)
-        if jj >= 1:
-            w1 = jnp.where(wi == jj - 1, s, w1)
+    rows = jnp.arange(lim, dtype=jnp.int32)[:, None, None]
+    sl = slab[:lim, :, None]
+    w0 = jnp.where(wi[None] == rows, sl, 0).sum(axis=0)
+    w1 = jnp.where(wi[None] == rows - 1, sl, 0).sum(axis=0)
     return _combine(w0, w1, off)
 
 
-def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
+def _walk_subframe(src, pos, bs, ch_bps, T, NC):
     """Parse one subframe per lane starting at bit ``pos``.
 
     Returns (out, end, ok): ``out`` is a dict of per-lane descriptor
@@ -203,7 +237,7 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
     # ---- parameter slab: every header/warm-up/coefficient bit of one
     # subframe lives within H_WORDS of its start (bounds in the constant's
     # comment), so ONE contiguous fetch serves the whole parse.
-    hslab, hbase = _slab(stream, pos >> 5, H_WORDS)
+    hslab, hbase = _slab(src, pos >> 5, H_WORDS)
     rel = pos - (hbase << 5)  # in [0, 31 + 32 * _SLACK]
 
     # --- subframe header: pad bit, 6-bit type, wasted-bits flag+unary.
@@ -302,32 +336,47 @@ def _walk_subframe(stream, pos, bs, ch_bps, T, NC):
 
     def chunk_step(carry, c):
         cur, k, nb, bad = carry
-        slab, sb_words = _slab(stream, cur >> 5, R_WORDS)
-        sbase = sb_words << 5
+        slab, sb_words = _slab(src, cur >> 5, R_WORDS)
         emit_base = cur
+        # Shift-register window: (w0, w1) are slab words wi, wi + 1 with
+        # the cursor ``off`` bits into w0. A code advances <= 32 bits
+        # (the device cap; longer codes latch ``bad`` -> host fallback),
+        # so the word cursor moves by d <= 1 per code: one register
+        # shift + ONE one-hot slab refill, instead of re-selecting a
+        # 3-word window per code.
+        rel = cur - (sb_words << 5)  # in [0, 31 + 32 * _SLACK]
+        wi = rel >> 5                # in [0, _SLACK]
+        off = rel & 31
+        w0 = _sel_row(slab, wi, 0, _SLACK + 1)
+        w1 = _sel_row(slab, wi + 1, 1, _SLACK + 2)
         ks8 = []
         for j in range(32):
             t = c * 32 + j
             active = resd_l & (t >= order_l) & (t < bs_l)
             first = active & (t == nb)
-            # Accepted codes are <= 64 bits (incl. the parameter on a
-            # partition's first code), so after j codes the window
-            # touches slab words < 2j + 5.
-            hi, lo = _read64(slab, cur - sbase, 2 * j + 5 + _SLACK)
+            hi = _combine(w0, w1, off)
             kr = _bits(hi, jnp.where(first, pbits, 1))
             escape = first & (kr == (_i(_u(jnp.int32(1)) << _u(pbits)) - 1))
             k_new = jnp.where(first, kr, k)
             sh = jnp.where(first, pbits, 0)
-            # Skip the parameter bits in-register instead of re-reading.
-            hi2 = _i(_u(hi) << _u(sh)) | jnp.where(
-                sh == 0, 0,
-                _i(_u(lo) >> _u(jnp.where(sh == 0, 1, 32 - sh))))
-            lo2 = _i(_u(lo) << _u(sh))
-            z = _unary(hi2, lo2)
-            # Mirror the C++ cap: q + 1 + k (+ param bits on a
-            # partition's first code) must fit the 64-bit parse window.
-            bad = bad | (active & (escape | (z > 63 - k_new - sh)))
-            cur = jnp.where(active, cur + sh + z + 1 + k_new, cur)
+            # Skip the parameter bits in-register; the full code
+            # (param + quotient + terminator + k) must fit the 32-bit
+            # window or the lane leaves the device path.
+            hi2 = _i(_u(hi) << _u(sh))
+            z = _clz32(hi2)
+            adv = sh + z + 1 + k_new
+            bad = bad | (active & (escape | (adv > 32)))
+            na = jnp.where(active, jnp.minimum(adv, 32), 0)
+            off2 = off + na          # <= 63
+            d = off2 >> 5            # in {0, 1}
+            off = off2 & 31
+            # Refill: after j codes wi <= _SLACK + j, so the lookahead
+            # word wi + 2 lives in rows [2, _SLACK + j + 3).
+            nxt = _sel_row(slab, wi + 2, 2, _SLACK + j + 3)
+            w0 = jnp.where(d != 0, w1, w0)
+            w1 = jnp.where(d != 0, nxt, w1)
+            wi = wi + d
+            cur = cur + na
             k = k_new
             nb = jnp.where(first,
                            jnp.where(t == order_l, ps_s, t + ps_s), nb)
@@ -414,6 +463,7 @@ def walk_frames(stream, start_bits, bs, modes, bps0, T, nch):
       device-representable.
     """
     NC = (T + 31) // 32
+    src = (stream,) + _blocked(stream)
     pos = start_bits
     ok = (bs >= 1) & (bs <= T)
     chans = []
@@ -426,7 +476,7 @@ def walk_frames(stream, start_bits, bs, modes, bps0, T, nch):
                 | jnp.asarray(ch == 0) & (modes == 2), 1, 0)
         else:
             side = 0
-        out, end, ok_c = _walk_subframe(stream, pos, bs, bps0 + side,
+        out, end, ok_c = _walk_subframe(src, pos, bs, bps0 + side,
                                         T, NC)
         chans.append(out)
         pos = end

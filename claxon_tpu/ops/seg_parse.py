@@ -27,7 +27,8 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["fused_demux", "fused_demux_async", "SUMMARY_COLS", "pick_cap"]
+__all__ = ["fused_demux", "fused_demux_async", "SUMMARY_COLS", "pick_cap",
+           "pick_wcap"]
 
 #: summary columns, per candidate (int64 after unpacking):
 #: pos, sync_valid (header parse + CRC-8 ok), walk_ok, end_byte,
@@ -72,9 +73,10 @@ _BPS_TABLE = np.array([0, 8, 12, -1, 16, 20, 24, -1], np.int32)
 #: descriptor arrays (warm-up, coefficients, Rice parameters: ~600 B per
 #: (candidate, channel) lane), so a sync-saturated payload (0xFFF8
 #: repeated: a candidate every 2 bytes) must not be allowed to regrow the
-#: cap into GBs of walk lanes -- past this ceiling the segmented path
-#: hands the batch to the host walk (DemuxOverflow), which handles such
-#: streams at full speed. 2^18 lanes x 2 ch is ~300 MB of walk arrays.
+#: walk capacity into GBs of lanes -- past this ceiling the segmented
+#: path hands the batch to the host walk (DemuxOverflow), which handles
+#: such streams at full speed. 2^18 lanes x 2 ch is ~300 MB of walk
+#: arrays.
 MAX_CAP = 1 << 18
 
 
@@ -83,7 +85,7 @@ class DemuxOverflow(Exception):
 
 
 def pick_cap(n_bytes, frames_est=None):
-    """Candidate capacity class for a group payload.
+    """Sync-candidate capacity class for a group payload.
 
     With a frame-count estimate (STREAMINFO total samples / min block
     size) the capacity is frames + a sync-mimic budget (the 2-byte sync
@@ -91,11 +93,10 @@ def pick_cap(n_bytes, frames_est=None):
     FF-heavy audio). ``PendingDemux.resolve`` re-dispatches with the
     next class on the rare overflow, so a tight cap costs at most one
     extra dispatch on first encounter, while an oversized one fetches
-    dead summary rows -- and walks dead candidate lanes -- every batch.
-    Without an estimate: bytes/512 (a frame can be ~14 bytes in the
-    degenerate 192-sample 8-bit mono constant case). A lying STREAMINFO
-    cannot inflate the estimate past the physical frame floor
-    (~14 bytes/frame) or MAX_CAP."""
+    dead summary rows every batch. Without an estimate: bytes/512 (a
+    frame can be ~14 bytes in the degenerate 192-sample 8-bit mono
+    constant case). A lying STREAMINFO cannot inflate the estimate past
+    the physical frame floor (~14 bytes/frame) or MAX_CAP."""
     if frames_est is None:
         est = n_bytes // 512 + 1
     else:
@@ -106,8 +107,28 @@ def pick_cap(n_bytes, frames_est=None):
     return cap
 
 
+def pick_wcap(n_bytes, frames_est=None):
+    """Walk-lane capacity class: how many candidates the subframe walk
+    materializes descriptor arrays for. Much tighter than ``pick_cap``:
+    only candidates that survive the full header parse + CRC-8 AND match
+    the group's static shape are walked (the fused program compacts them
+    to the front first), and CRC-8 filters ~255/256 of sync mimics -- so
+    the estimate is the frame count plus a thin mimic budget. The walk's
+    cost scales linearly with this capacity (VERDICT r3 item 1c), so a
+    tight class directly buys demux throughput; overflow re-dispatches
+    with the next class exactly like the sync cap."""
+    if frames_est is None:
+        est = n_bytes // 512 + 1
+    else:
+        est = min(frames_est, n_bytes // 14 + 2) + n_bytes // (1 << 21) + 32
+    cap = 256
+    while cap < est and cap < MAX_CAP:
+        cap *= 2
+    return cap
+
+
 @lru_cache(maxsize=None)
-def _program(T, nch, cap, S):
+def _program(T, nch, cap, wcap, S):
     import jax
     import jax.numpy as jnp
 
@@ -126,17 +147,12 @@ def _program(T, nch, cap, S):
         stream = (((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
                   | ((w >> 8) & 0xFF00) | ((w >> 24) & 0xFF))
 
-        positions, valid, count = find_frame_headers(stream, n_bytes, cap)
+        positions, valid, count, win = find_frame_headers(stream, n_bytes,
+                                                          cap)
 
-        # ---- header fields (device twin of host_header_fields).
-        b = jnp.stack([(stream >> 24) & 255, (stream >> 16) & 255,
-                       (stream >> 8) & 255, stream & 255],
-                      axis=1).reshape(-1)
+        # ---- header fields (device twin of host_header_fields), decoded
+        # from the (cap, 16) window the sync scan already gathered.
         p = jnp.maximum(positions, 0)
-        win = b[jnp.clip(p[:, None]
-                         + jnp.arange(MAX_HEADER_BYTES + 1,
-                                      dtype=jnp.int32)[None, :],
-                         0, b.shape[0] - 1)]  # (cap, 16)
         variable = win[:, 1] & 1
         bs_code = win[:, 2] >> 4
         sr_code = win[:, 2] & 15
@@ -181,18 +197,37 @@ def _program(T, nch, cap, S):
         bps = jnp.where(bps_code == 0, si_bps[c_si],
                         bps_table[jnp.minimum(bps_code, 7)])
 
-        # ---- walk every candidate speculatively (padding lanes walk a
-        # zero-length frame and come back not-ok; they are never chained).
+        # ---- compact the walkable candidates to the front and walk ONLY
+        # those ``wcap`` lanes (VERDICT r3 item 1c: the walk's cost is
+        # linear in lanes, and CRC-8 + shape checks kill ~all mimics).
+        # The host recomputes this exact rank from the summary's valid
+        # bit (bit 29 = walkable), so no extra mapping crosses the link.
         walkable = (valid & (nch_hdr == nch) & (bps > 0)
                     & (block_size >= 1) & (block_size <= T))
-        start_bits = jnp.where(walkable, (p + hlen) * 8, 0)
-        w_bs = jnp.where(walkable, block_size, 0)
-        w_bps = jnp.where(walkable, bps, 1)
-        out, end_bits, walk_ok = walk_frames(
-            stream, start_bits, w_bs, mode, w_bps, T=T, nch=nch)
+        wk32 = walkable.astype(jnp.int32)
+        walk_count = wk32.sum().astype(jnp.int32)
+        rank = jnp.cumsum(wk32) - 1
+        tgt = jnp.where(walkable, jnp.minimum(rank, wcap), wcap)
+        cand = jnp.full(wcap + 1, cap, jnp.int32).at[tgt].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")[:-1]
+        live = cand < cap
+        ci = jnp.minimum(cand, cap - 1)
+        start_bits = jnp.where(live, ((p + hlen) * 8)[ci], 0)
+        w_bs = jnp.where(live, block_size[ci], 0)
+        w_mode = jnp.where(live, mode[ci], 0)
+        w_bps = jnp.where(live, bps[ci], 1)
+        out, end_bits_c, walk_ok_c = walk_frames(
+            stream, start_bits, w_bs, w_mode, w_bps, T=T, nch=nch)
 
-        np_f = out["n_parts"].reshape(cap, nch).max(axis=1)
-        sa_f = out["sa_words"].reshape(cap, nch).max(axis=1)
+        # Scatter the summary-visible walk results back to candidate
+        # order (wcap-sized scatter: cheap; cand == cap rows drop).
+        def back(x):
+            return jnp.zeros(cap, x.dtype).at[cand].set(x, mode="drop")
+
+        walk_ok = back(walk_ok_c)
+        end_bits = back(end_bits_c)
+        np_f = back(out["n_parts"].reshape(wcap, nch).max(axis=1))
+        sa_f = back(out["sa_words"].reshape(wcap, nch).max(axis=1))
         # Packed summary (see PACKED_WORDS): fields that only matter for
         # chained lanes are clamped into their widths -- walk-ok lanes
         # are in range by construction (n_parts <= 64, sa <= 64,
@@ -211,7 +246,8 @@ def _program(T, nch, cap, S):
               | (jnp.clip(bps, 0, 63) << 20))
         summary = jnp.stack([positions, end_bits >> 3, lo, w3, w4],
                             axis=1)
-        return stream, tuple(out[k] for k in _WALK_KEYS), summary, count
+        counts = jnp.stack([count, walk_count])
+        return stream, tuple(out[k] for k in _WALK_KEYS), summary, counts
 
     return jax.jit(prog, static_argnames=("n_bytes",))
 
@@ -224,34 +260,43 @@ class PendingDemux:
     blocks on the fetch and transparently re-dispatches with a larger
     candidate capacity on the rare overflow."""
 
-    def __init__(self, words_le, n_bytes, T, nch, ends_d, bps_d, cap, S):
+    def __init__(self, words_le, n_bytes, T, nch, ends_d, bps_d, cap,
+                 wcap, S):
         self._key = (words_le, n_bytes, T, nch, ends_d, bps_d, S)
-        self._dispatch(cap)
+        self._dispatch(cap, wcap)
 
-    def _dispatch(self, cap):
+    def _dispatch(self, cap, wcap):
         words_le, n_bytes, T, nch, ends_d, bps_d, S = self._key
         self.cap = cap
-        self.stream, self.walk, self._summary, self._count = \
-            _program(T, nch, cap, S)(words_le, n_bytes, ends_d, bps_d)
+        self.wcap = wcap
+        self.stream, self.walk, self._summary, self._counts = \
+            _program(T, nch, cap, wcap, S)(words_le, n_bytes, ends_d,
+                                           bps_d)
         self._summary.copy_to_host_async()
-        self._count.copy_to_host_async()
+        self._counts.copy_to_host_async()
 
     def resolve(self):
         """(summary (np, count rows, SUMMARY_COLS layout), count) --
-        blocks on the fetch, unpacks the 5-word device form. Raises
-        DemuxOverflow past MAX_CAP (caller falls back to the host walk)."""
+        blocks on the fetch, unpacks the 5-word device form. Re-dispatches
+        with the next capacity class when either the sync-candidate or the
+        walk-lane capacity overflowed; raises DemuxOverflow past MAX_CAP
+        (caller falls back to the host walk)."""
         while True:
-            count = int(np.asarray(self._count))
-            if count <= self.cap:
+            counts = np.asarray(self._counts)
+            count, walk_count = int(counts[0]), int(counts[1])
+            if count <= self.cap and walk_count <= self.wcap:
                 return _unpack_summary(
                     np.asarray(self._summary)[:count]), count
-            cap = self.cap
+            cap, wcap = self.cap, self.wcap
             while cap < count:
                 cap *= 2
-            if cap > MAX_CAP:
+            while wcap < walk_count:
+                wcap *= 2
+            if cap > MAX_CAP or wcap > MAX_CAP:
                 raise DemuxOverflow(
-                    f"{count} sync candidates > MAX_CAP {MAX_CAP}")
-            self._dispatch(cap)
+                    f"{count} sync candidates / {walk_count} walk lanes "
+                    f"> MAX_CAP {MAX_CAP}")
+            self._dispatch(cap, wcap)
 
 
 def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps,
@@ -267,7 +312,7 @@ def fused_demux_async(words_le, n_bytes, T, nch, stream_ends, si_bps,
     bps_a[:len(si_bps)] = si_bps
     return PendingDemux(words_le, n_bytes, T, nch, jnp.asarray(ends),
                         jnp.asarray(bps_a), pick_cap(n_bytes, frames_est),
-                        S)
+                        pick_wcap(n_bytes, frames_est), S)
 
 
 def fused_demux(words_le, n_bytes, T, nch, stream_ends, si_bps,

@@ -81,42 +81,97 @@ def find_frame_headers(stream, n_bytes, max_candidates):
       max_candidates: static output capacity; candidates past it drop.
 
     Returns:
-      (positions, valid, count):
+      (positions, valid, count, win):
         positions: (max_candidates,) int32 byte offsets of sync hits, in
                    stream order, -1 past ``count``;
         valid:     (max_candidates,) bool -- full header parse succeeded
                    AND the header CRC-8 matched;
         count:     () int32 number of sync hits found (may exceed
-                   max_candidates if the capacity was too small).
+                   max_candidates if the capacity was too small);
+        win:       (max_candidates, 16) int32 -- each candidate's header
+                   window bytes (callers reuse it for field decode).
     """
     if stream.shape[0] == 0 or n_bytes < 2:
         return (jnp.full(max_candidates, -1, jnp.int32),
-                jnp.zeros(max_candidates, bool), jnp.int32(0))
+                jnp.zeros(max_candidates, bool), jnp.int32(0),
+                jnp.zeros((max_candidates, MAX_HEADER_BYTES + 1),
+                          jnp.int32))
 
-    # Byte planes -> flat byte array (vector ops only).
+    # Sync scan, word-native: each word's 4 byte lanes are tested with
+    # shifts (lane 3 peeks at the next word). No flat byte array is ever
+    # materialized -- the (W, 4) -> (4W,) interleave is a lane shuffle
+    # that costs more than the whole scan.
     w = stream.astype(jnp.int32)
-    b = jnp.stack([(w >> 24) & 255, (w >> 16) & 255,
-                   (w >> 8) & 255, w & 255], axis=1).reshape(-1)
+    W = w.shape[0]
+    wn_ = jnp.concatenate([w[1:], jnp.zeros(1, jnp.int32)])
+    iw = jnp.arange(W, dtype=jnp.int32)
+    lanes = []
+    for l in range(4):
+        bl = (w >> (24 - 8 * l)) & 255
+        nb = ((w >> (16 - 8 * l)) & 255) if l < 3 else ((wn_ >> 24) & 255)
+        # byte position 4i + l is scannable iff 4i + l < n_bytes - 2.
+        ni = max(0, (n_bytes + 1 - l) // 4)
+        lanes.append((bl == 255) & ((nb & 0xFE) == 0xF8) & (iw < ni))
+    count = (lanes[0].sum() + lanes[1].sum() + lanes[2].sum()
+             + lanes[3].sum()).astype(jnp.int32)
 
-    # Sync scan: 0xFF then 111110 + reserved 0 (byte1 in {0xF8, 0xF9}).
-    nxt = jnp.concatenate([b[1:], jnp.zeros(1, b.dtype)])
-    mask = (b == 255) & ((nxt & 0xFE) == 0xF8)
-    pos_ok = jnp.arange(b.shape[0], dtype=jnp.int32) < n_bytes - 2
-    mask = mask & pos_ok
+    # Compact sync positions into stream order, two-level: top_k over
+    # 8-byte-GROUP hit flags (2 words; 8x fewer elements than bytes),
+    # then a small expand + rank-scatter of the byte offsets inside each
+    # hit group. top_k keeps the FIRST max_candidates hit groups in
+    # stream order (largest key = smallest position). Measured on the
+    # bench stream (8.9 MB): byte-level scatter-by-rank 51 ms,
+    # byte-level top_k 28 ms (TPU scatters serialize; top_k cost scales
+    # with the scanned length, so group granularity divides it).
+    anyw = lanes[0] | lanes[1] | lanes[2] | lanes[3]
+    anyp = jnp.pad(anyw, (0, W % 2))
+    gmask = anyp.reshape(-1, 2).any(axis=1)
+    gn = gmask.shape[0]
+    k = min(max_candidates, gn)
+    gkey = jnp.where(gmask, gn - jnp.arange(gn, dtype=jnp.int32), 0)
+    vals, _ = jax.lax.top_k(gkey, k)
+    vals = jnp.pad(vals, (0, max_candidates - k))
+    groups = gn - vals  # ascending hit-group indices; == gn where no hit
+    # A hit group beyond the top_k window would drop candidates silently;
+    # fold the overflow into ``count`` so the caller regrows.
+    count = jnp.maximum(count, gmask.sum().astype(jnp.int32))
 
-    # Compact sync positions into stream order (scatter-by-rank).
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    count = rank[-1] + 1
-    tgt = jnp.where(mask, rank, max_candidates)  # drop non-hits + overflow
+    # Expand: gather each hit group's 2 words + 1 lookahead and retest
+    # its 8 byte lanes (3 * max_candidates words -- cheap).
+    g2 = groups * 2
+    w3 = w[jnp.clip(g2[:, None] + jnp.arange(3, dtype=jnp.int32)[None, :],
+                    0, W - 1)]  # (C, 3)
+    byte_pos = (g2[:, None] * 4
+                + jnp.arange(8, dtype=jnp.int32)[None, :])  # (C, 8)
+    hits = []
+    for l in range(8):
+        wi_, li_ = divmod(l, 4)
+        bl = (w3[:, wi_] >> (24 - 8 * li_)) & 255
+        nb = ((w3[:, wi_] >> (16 - 8 * li_)) & 255) if li_ < 3 \
+            else ((w3[:, wi_ + 1] >> 24) & 255)
+        hits.append((bl == 255) & ((nb & 0xFE) == 0xF8))
+    hit = (jnp.stack(hits, axis=1) & (vals[:, None] > 0)
+           & (byte_pos < n_bytes - 2)).reshape(-1)
+    byte_pos = byte_pos.reshape(-1)
+    rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    tgt = jnp.where(hit, jnp.minimum(rank, max_candidates),
+                    max_candidates)
     positions = jnp.full(max_candidates + 1, -1, jnp.int32).at[tgt].set(
-        jnp.arange(b.shape[0], dtype=jnp.int32), mode="drop")[:-1]
+        byte_pos, mode="drop")[:-1]
 
-    # Gather each candidate's header window (the only gather: a few bytes
-    # per candidate).
+    # Header windows: gather 5 words per candidate (20 bytes cover the
+    # 16-byte window at any alignment), split bytes, slice at p & 3.
     p = jnp.maximum(positions, 0)
-    win = b[jnp.clip(p[:, None] + jnp.arange(MAX_HEADER_BYTES + 1,
-                                             dtype=jnp.int32)[None, :],
-                     0, b.shape[0] - 1)]  # (C, 16)
+    w5 = w[jnp.clip((p >> 2)[:, None]
+                    + jnp.arange(5, dtype=jnp.int32)[None, :],
+                    0, W - 1)]  # (C, 5)
+    b20 = jnp.stack([(w5 >> 24) & 255, (w5 >> 16) & 255,
+                     (w5 >> 8) & 255, w5 & 255],
+                    axis=2).reshape(-1, 20)
+    win = jnp.take_along_axis(
+        b20, (p & 3)[:, None] + jnp.arange(MAX_HEADER_BYTES + 1,
+                                           dtype=jnp.int32)[None, :],
+        axis=1)  # (C, 16)
 
     bs_sr = win[:, 2]
     bs_code = bs_sr >> 4
@@ -153,4 +208,4 @@ def find_frame_headers(stream, n_bytes, max_candidates):
 
     # In-bounds: the header + CRC byte must fit the stream.
     ok = ok & (positions >= 0) & (p + hlen < n_bytes)
-    return positions, ok, count
+    return positions, ok, count, win

@@ -178,6 +178,21 @@ def stream_step_fn(n_parts_max, sa, nc, platform=None):
 _STREAM_QUANTUM = 1 << 16
 
 
+def _pad_stream_words(total_w):
+    """Padded word count for a group's stream upload.
+
+    Geometric power-of-two classes below ``_STREAM_QUANTUM`` (a 25 KB
+    group must not pay a 256 KB upload on a ~33 MB/s link), linear
+    ``_STREAM_QUANTUM`` multiples above -- at most 4 extra compile
+    classes either way."""
+    q = 1 << 12
+    while q < _STREAM_QUANTUM:
+        if total_w <= q:
+            return q
+        q *= 2
+    return -(-max(total_w, 1) // _STREAM_QUANTUM) * _STREAM_QUANTUM
+
+
 def _jit_bucket_program(fn, mesh, stream_arg=False):
     """jit a bucket program, lane-sharding every per-lane input over the
     mesh when one is given (the shared stream upload is replicated; lanes
@@ -363,7 +378,7 @@ def decode_raw_bits_device(braws, lane_quantum=None, mode="stream",
         sizes = [len(b.payload) for _si, b in braws]
         wcs = [(s + 3) // 4 for s in sizes]
         total_w = sum(wcs)
-        total_q = -(-max(total_w, 1) // _STREAM_QUANTUM) * _STREAM_QUANTUM
+        total_q = _pad_stream_words(total_w)
         buf = np.zeros(total_q * 4, dtype=np.uint8)
         off = 0
         for (si_, b), s, wc in zip(braws, sizes, wcs):

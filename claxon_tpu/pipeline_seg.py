@@ -216,7 +216,10 @@ def _host_fallback(datas, lane_quantum, mesh=None):
             braws, mode = extract_streams_bits(datas, native)
             return decode_raw_bits_device(braws, lane_quantum, mode,
                                           mesh=mesh)
-    return decode_streams_device(datas, lane_quantum=lane_quantum,
+    # Per-stream fallback batches are a handful of odd streams; the
+    # TPU's 128-lane quantum would pad their per-lane uploads ~20x (int32
+    # second-minor tiles at 8 sublanes, so L=8 wastes nothing on chip).
+    return decode_streams_device(datas, lane_quantum=min(lane_quantum, 8),
                                  segmentation="host")
 
 
@@ -237,7 +240,7 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
     from .native.binding import _read_metadata
     from .ops.seg_parse import fused_demux_async
     from .pipeline import _L_QUANTUM, _T_BUCKETS
-    from .pipeline_bits import _STREAM_QUANTUM
+    from .pipeline_bits import _pad_stream_words
 
     jnp = _jnp()
     if lane_quantum is None:
@@ -294,7 +297,7 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
         sizes = [p.nbytes for p in g_payloads]
         wcs = [(s + 3) // 4 for s in sizes]
         total_w = sum(wcs)
-        total_q = -(-max(total_w, 1) // _STREAM_QUANTUM) * _STREAM_QUANTUM
+        total_q = _pad_stream_words(total_w)
         buf = np.zeros(total_q * 4, dtype=np.uint8)
         byte_off = np.zeros(len(g_streams), np.int64)
         off = 0
@@ -386,6 +389,10 @@ def finish_segmented(pending):
                 for k, name in enumerate(SUMMARY_COLS)}
         cpos = cols["pos"]
         ok_c = (cols["valid"] != 0) & (cols["walk_ok"] != 0)
+        # Walk lanes are COMPACTED on device (only walkable candidates
+        # are walked, in candidate order); this rank is the device's
+        # exact compaction map, recomputed from the summary's valid bit.
+        walk_rank = np.cumsum(cols["valid"] != 0) - 1
         end_byte = cols["end_byte"]
         bs_c = cols["block_size"]
         time_raw = (cols["time_hi"] << 32) | (cols["time_lo"] & 0xFFFFFFFF)
@@ -468,8 +475,7 @@ def finish_segmented(pending):
         _mark("results")
 
         # ---- decode dispatches: one per P class. Walk lanes are
-        # candidate-major (row = candidate * nch + channel), so the plan
-        # rows come straight from the candidate indices.
+        # compacted-walkable-major (row = walk_rank * nch + channel).
         g_idx = np.flatnonzero(chained_mask)
         if g_idx.size:
             pcls = _P_CLASSES_V[np.minimum(
@@ -493,7 +499,7 @@ def finish_segmented(pending):
                 L, Tb = bucket_shape(n_lanes, T, lane_quantum)
                 SA = _sa_class(int(cols["sa"][sub].max()))
                 plan_arr = np.zeros((L, 3), np.int32)
-                rows = (sub[:, None] * nch
+                rows = (walk_rank[sub][:, None] * nch
                         + np.arange(nch)[None, :]).reshape(-1)
                 bs_v = bs_c[sub]
                 plan_arr[:n_lanes, 0] = rows

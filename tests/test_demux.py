@@ -65,12 +65,19 @@ def _walk_on_device(payload, t_bucket):
         np.asarray(end_bits), np.asarray(ok), bb
 
 
-def _check_against_oracle(payload, t_bucket):
+def _check_against_oracle(payload, t_bucket, exact=True):
     fields, out, end_bits, ok, bb = _walk_on_device(payload, t_bucket)
     bf, subs = bb.bframes, bb.bsubs
-    # The device walk accepts EXACTLY the frames the native walker keeps
-    # on the bits path (fallback flag bit 0: oversized codes etc.).
-    assert np.array_equal(ok, (bf["flags"] & 1) == 0)
+    # The device walk's accept set is a SUBSET of the native walker's
+    # bits-path set: the device window is 32 bits (ops/demux.py module
+    # docstring) vs the C++ walker's 64, so frames with longer codes
+    # (high-bps content) leave the device path -- but never the reverse.
+    native_ok = (bf["flags"] & 1) == 0
+    assert not (ok & ~native_ok).any()
+    if exact:
+        # On <= 16-bit corpora every code fits the device window, so the
+        # sets must match exactly (drift tripwire).
+        assert np.array_equal(ok, native_ok)
     nch = int(bf["channels"][0])
     ok_lane = np.repeat(ok, nch)
     # Frame ends: byte1 = aligned end + 2 CRC bytes (ok frames only; the
@@ -98,10 +105,11 @@ def _check_against_oracle(payload, t_bucket):
     for fi in range(len(bf)):
         for ch in range(int(bf["channels"][fi])):
             nc = int(nc_f[fi])
-            if (bf["flags"][fi] & 1) == 0:
+            if native_ok[fi]:
                 want = bb.bases[bo:bo + nc]
-                got = out["bases"][li, :nc]
-                assert np.array_equal(got, want), (fi, ch)
+                if ok[fi]:
+                    got = out["bases"][li, :nc]
+                    assert np.array_equal(got, want), (fi, ch)
                 bo += nc
             li += 1
     assert bo == len(bb.bases)
@@ -134,7 +142,10 @@ def test_walk_matches_native_walker(kw):
                    for b in native.extract_frames_bits(
                        payload, emit_slots=False,
                        defer_crc=True).bframes)
-    _check_against_oracle(payload, t_bucket)
+    # 24-bit residues use k ~ 20: many codes exceed the device's 32-bit
+    # window, so those frames legitimately leave the device path
+    # (subset semantics); <= 16-bit corpora must match exactly.
+    _check_against_oracle(payload, t_bucket, exact=kw.get("bps", 16) <= 16)
 
 
 def test_walk_mono():

@@ -154,17 +154,18 @@ def test_cap_overflow_regrows(monkeypatch):
     want = decode_streams_device([flac], segmentation="host").to_host()
 
     grown = []
-    orig = sp.pick_cap
     monkeypatch.setattr(sp, "pick_cap", lambda *a: 8)
+    monkeypatch.setattr(sp, "pick_wcap", lambda *a: 8)
     orig_dispatch = sp.PendingDemux._dispatch
 
-    def spying(self, cap):
-        grown.append(cap)
-        return orig_dispatch(self, cap)
+    def spying(self, cap, wcap):
+        grown.append((cap, wcap))
+        return orig_dispatch(self, cap, wcap)
 
     monkeypatch.setattr(sp.PendingDemux, "_dispatch", spying)
     dd = decode_streams_segmented([flac])
     assert getattr(dd, "segmented", False)
     got = dd.to_host()
     assert np.array_equal(want[0].pcm, got[0].pcm)
-    assert grown[0] == 8 and len(grown) >= 2 and grown[-1] > 8
+    assert grown[0] == (8, 8) and len(grown) >= 2
+    assert grown[-1][0] > 8 and grown[-1][1] > 8

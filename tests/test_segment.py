@@ -28,8 +28,8 @@ def _scan(payload, max_candidates=4096):
     from claxon_tpu.ops.segment import find_frame_headers
 
     words = _stream_words(payload)
-    pos, ok, count = find_frame_headers(jnp.asarray(words), len(payload),
-                                        max_candidates)
+    pos, ok, count, _win = find_frame_headers(jnp.asarray(words),
+                                              len(payload), max_candidates)
     return np.asarray(pos), np.asarray(ok), int(count)
 
 
