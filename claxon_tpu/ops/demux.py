@@ -99,10 +99,20 @@ def _i(x):
 #: "take" is the plain elementwise gather, kept for A/B measurement.
 _SLAB_STYLE = os.environ.get("CLAXON_TPU_SLAB_GATHER", "rows")
 
-#: row-gather block size and the worst-case word slack before the
-#: requested word (the slab starts at the enclosing G-word boundary).
-_G = 8
-_SLACK = _G - 1 if _SLAB_STYLE == "rows" else 0
+#: row-gather block width. Wide rows are the whole game: the take cost
+#: is per ROW, nearly independent of width (measured 64 us/step at G=8
+#: vs 6.6 us/step at G=32 for the same slab, tools/walk_bench.py), so
+#: the gather fetches 32-word rows and a cheap fan-4 select re-bases the
+#: slab to an 8-word boundary (_SUB) before callers see it. That keeps
+#: the caller-visible slack -- and with it the per-code one-hot refill
+#: fan, the walk's dominant per-code cost -- at the old G=8 value.
+_G = 32
+_GSH = _G.bit_length() - 1
+#: sub-alignment granularity exposed to callers: slabs start at the
+#: enclosing _SUB-word boundary, so a requested word is at most _SLACK
+#: words into the slab.
+_SUB = 8
+_SLACK = _SUB - 1 if _SLAB_STYLE == "rows" else 0
 
 
 #: maximum block rows any _slab call needs (sizes the shared padding).
@@ -127,7 +137,7 @@ def _slab(src, word0, n):
     """Per-lane slab of >= n contiguous stream words from ``word0``.
 
     ``src``: (stream, sb, wb0) from ``_blocked``. Returns (slab, base):
-    slab (n + slack, F) word-major with F minor, base (F,) the stream
+    slab (n + _SLACK, F) word-major with F minor, base (F,) the stream
     word index of slab row 0 (<= word0, within ``_SLACK`` words). Reads
     past the stream end return zeros (rows style) or the last word
     (take style) -- only lanes whose codes overran the stream see them,
@@ -139,12 +149,23 @@ def _slab(src, word0, n):
         base = jnp.clip(word0, 0, W - 1)
         idx = base[None, :] + jnp.arange(n, dtype=jnp.int32)[:, None]
         return jnp.take(stream, jnp.clip(idx, 0, W - 1), axis=0), base
-    nr = -(-(n + _SLACK) // _G)
-    block = jnp.clip(word0 >> 3, 0, wb0)  # past-end lanes read zeros
+    # Wide-row gather: ceil((n + _G - 1) / _G) rows of _G words cover the
+    # _SUB-aligned window of n + _SLACK words wherever it starts inside
+    # the first row.
+    nr = -(-(n + _G - 1) // _G)
+    block = jnp.clip(word0 >> _GSH, 0, wb0)  # past-end lanes read zeros
     idx = block[None, :] + jnp.arange(nr, dtype=jnp.int32)[:, None]
     rows = jnp.take(sb, idx, axis=0)        # (nr, F, G)
-    slab = rows.transpose(0, 2, 1).reshape(nr * _G, -1)
-    return slab, block << 3
+    wide = rows.transpose(0, 2, 1).reshape(nr * _G, -1)
+    # Re-base to the enclosing _SUB-word boundary: fan-4 select among the
+    # four _SUB-aligned views of the wide slab (once per slab fetch --
+    # NOT per code, unlike the refill one-hot whose fan this keeps small).
+    sub = jnp.clip((word0 >> 3) - (block << 2), 0, _G // _SUB - 1)
+    nwin = n + _SLACK
+    slab = jnp.where(sub == 0, wide[:nwin], wide[_SUB:_SUB + nwin])
+    for q in range(2, _G // _SUB):
+        slab = jnp.where(sub == q, wide[q * _SUB:q * _SUB + nwin], slab)
+    return slab, ((block << 2) + sub) << 3
 
 
 def _bits(hi, n):
