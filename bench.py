@@ -204,18 +204,55 @@ def time_device_resident(pairs, total_samples, seconds, max_reps=60):
     staged-corpus scenario (a training input pipeline stages the bits once
     and decodes per epoch): no link traffic in the steady state. All reps
     dispatch back to back (the device executes programs in dispatch
-    order); ONE set of tiny dependent fetches closes the window, so the
-    degraded-phase d2h round-trip latency is paid once, not per rep."""
-    reps = 0
-    outs = None
-    t0 = time.perf_counter()
-    while (time.perf_counter() - t0 < seconds and reps < max_reps) \
-            or reps < 3:
-        outs = [prog(*args) for prog, args in pairs]
-        reps += 1
-    _probe_outputs(outs)
-    elapsed = time.perf_counter() - t0
-    return total_samples * reps / elapsed / 1e6, reps
+    order) and ONE set of tiny dependent fetches closes each window.
+
+    Two-window form: the tunnel's d2h latency has minutes-long degraded
+    phases, so a single closing fetch can bill many times the actual chip
+    time to the window (observed: the same close that costs ~10 ms in a
+    clean phase stalls > 120 s in a bad one, while dispatch + execution
+    are unaffected). Both windows end with the identical close, so their
+    DIFFERENCE is reps-proportional chip time with the phase-stable close
+    cost cancelled; the conservative single-window rate is the fallback
+    when the phase shifted between windows."""
+    def window(reps):
+        outs = None
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs = [prog(*args) for prog, args in pairs]
+        _probe_outputs(outs)
+        return time.perf_counter() - t0
+
+    window(1)  # warm: drain any pending transfers / stalled phase debt
+    reps_a = max(max_reps // 3, 1)
+    reps_b = max_reps
+    t_a = window(reps_a)
+    # Don't grow the second window past the time budget when the chip is
+    # genuinely slow (t_a dominated by execution, not the close).
+    if t_a > seconds:
+        reps_b = min(reps_b, 2 * reps_a)
+    conservative = 0.0
+    for _attempt in range(2):
+        t_b = window(reps_b)
+        conservative = max(conservative,
+                           total_samples * reps_b / t_b / 1e6)
+        if reps_b <= reps_a:
+            break
+        per_rep = (t_b - t_a) / (reps_b - reps_a)
+        close = t_a - reps_a * per_rep
+        # Accept the decomposition only when it is self-consistent:
+        # positive chip time per rep and a non-negative implied close
+        # cost (small negative = timer noise). A phase shift between the
+        # windows breaks both (close_b > close_a inflates per_rep until
+        # the implied close goes negative; close_b < close_a can make
+        # per_rep itself negative) -- remeasure window A in the current
+        # phase and try once more.
+        if per_rep > 0 and close >= -0.05 * t_a:
+            return total_samples / per_rep / 1e6, reps_b
+        if _attempt == 0:
+            t_a = window(reps_a)
+    # Two phase shifts in a row: report the conservative whole-window
+    # rate (close cost billed to the reps -- an underestimate).
+    return conservative, reps_b
 
 
 def main():
