@@ -92,6 +92,14 @@ def test_slow_chip_caps_second_window(sim):
     assert rate == pytest.approx(TRUE_RATE, rel=0.01)
 
 
+def test_pathological_stall_skips_retry(sim):
+    # A 700 s close appearing at window B would normally trigger a
+    # retry, but the two windows already blew past the 600 s bound --
+    # only 3 closes are scripted, so a retry would IndexError.
+    rate, _ = sim([0.01, 0.01, 700.0])
+    assert 0 < rate < TRUE_RATE
+
+
 def test_single_rep_budget_returns_whole_window(sim):
     rate, reps = sim([0.01, 0.01, 0.01], max_reps=1)
     assert reps == 1
