@@ -206,14 +206,20 @@ def time_device_resident(pairs, total_samples, seconds, max_reps=60):
     dispatch back to back (the device executes programs in dispatch
     order) and ONE set of tiny dependent fetches closes each window.
 
-    Two-window form: the tunnel's d2h latency has minutes-long degraded
+    Three-window form: the tunnel's d2h latency has minutes-long degraded
     phases, so a single closing fetch can bill many times the actual chip
-    time to the window (observed: the same close that costs ~10 ms in a
+    time to a window (observed: the same close that costs ~10 ms in a
     clean phase stalls > 120 s in a bad one, while dispatch + execution
-    are unaffected). Both windows end with the identical close, so their
-    DIFFERENCE is reps-proportional chip time with the phase-stable close
-    cost cancelled; the conservative single-window rate is the fallback
-    when the phase shifted between windows."""
+    are unaffected). All windows end with the identical close, so the
+    rep-count SLOPE of window time is chip time with the phase-stable
+    close cost cancelled. Three windows give two independent slopes whose
+    agreement certifies the decomposition; they are measured in
+    NON-MONOTONE rep order (small, large, mid) so that a close cost
+    drifting linearly in time -- which in measured-in-rep-order windows
+    is mathematically indistinguishable from per-rep chip time and would
+    silently inflate the rate -- shows up as a slope disagreement
+    instead. The conservative whole-window rate is the fallback when no
+    self-consistent decomposition emerges."""
     def window(reps):
         outs = None
         t0 = time.perf_counter()
@@ -223,42 +229,52 @@ def time_device_resident(pairs, total_samples, seconds, max_reps=60):
         return time.perf_counter() - t0
 
     window(1)  # warm: drain any pending transfers / stalled phase debt
-    reps_a = max(max_reps // 3, 1)
-    reps_b = max_reps
-    t_a = window(reps_a)
-    # Don't grow the second window past the time budget when the chip is
-    # genuinely slow (t_a dominated by execution, not the close).
-    if t_a > seconds:
-        reps_b = min(reps_b, 2 * reps_a)
-    conservative = 0.0
+    if max_reps < 3:
+        t = window(max_reps)
+        return total_samples * max_reps / t / 1e6, max_reps
+    r1 = max(max_reps // 3, 1)
+    r2 = max(2 * max_reps // 3, r1 + 1)
+    r3 = max(max_reps, r2 + 1)
+    t1 = window(r1)
+    # Don't grow the later windows past the time budget when the chip is
+    # genuinely slow (t1 dominated by execution, not the close).
+    if t1 > seconds:
+        r3 = min(r3, 2 * r1)
+        r2 = min(r2, max(r1 + 1, (r1 + r3) // 2))
+    conservative = total_samples * r1 / t1 / 1e6
+    spent = t1
     for _attempt in range(2):
-        t_b = window(reps_b)
+        t3 = window(r3)
+        t2 = window(r2)
+        spent += t2 + t3
         conservative = max(conservative,
-                           total_samples * reps_b / t_b / 1e6)
-        if reps_b <= reps_a:
-            break
-        per_rep = (t_b - t_a) / (reps_b - reps_a)
-        close = t_a - reps_a * per_rep
-        # Accept the decomposition only when it is self-consistent:
-        # positive chip time per rep and a non-negative implied close
-        # cost (small negative = timer noise). A phase shift between the
-        # windows breaks both (close_b > close_a inflates per_rep until
-        # the implied close goes negative; close_b < close_a can make
-        # per_rep itself negative) -- remeasure window A in the current
-        # phase and try once more.
-        if per_rep > 0 and close >= -0.05 * t_a:
-            return total_samples / per_rep / 1e6, reps_b
-        # Retry costs two more closes. The observed ~2 min degraded-phase
-        # closes are worth retrying through (the whole point); only a
-        # pathological stall (10+ min for two windows) skips the retry so
+                           total_samples * r3 / t3 / 1e6,
+                           total_samples * r2 / t2 / 1e6)
+        s12 = (t2 - t1) / (r2 - r1)
+        s23 = (t3 - t2) / (r3 - r2)
+        s13 = (t3 - t1) / (r3 - r1)
+        close = t1 - r1 * s13
+        # Accept only a self-consistent decomposition: positive slopes
+        # that agree with each other, and a non-negative implied close
+        # cost (small negative = timer noise). Any phase shift between
+        # windows -- including a monotone drift, thanks to the shuffled
+        # measurement order -- breaks at least one condition.
+        if (s13 > 0 and min(s12, s23) > 0
+                and abs(s12 - s23) <= 0.3 * s13
+                and close >= -0.05 * t1):
+            return total_samples / s13 / 1e6, r3
+        # Retry costs three more closes. The observed ~2 min degraded-
+        # phase closes are worth retrying through (the whole point); only
+        # a pathological stall (10+ min spent already) skips the retry so
         # the bench run stays bounded.
-        if _attempt == 0 and t_a + t_b < 600.0:
-            t_a = window(reps_a)
+        if _attempt == 0 and spent < 600.0:
+            t1 = window(r1)
+            spent += t1
         else:
             break
-    # Two phase shifts in a row: report the conservative whole-window
+    # No consistent decomposition: report the conservative whole-window
     # rate (close cost billed to the reps -- an underestimate).
-    return conservative, reps_b
+    return conservative, r3
 
 
 def main():

@@ -31,9 +31,13 @@ __all__ = ["fused_demux", "fused_demux_async", "SUMMARY_COLS", "pick_cap",
            "pick_wcap"]
 
 #: summary columns, per candidate (int64 after unpacking):
-#: pos, sync_valid (header parse + CRC-8 ok), walk_ok, end_byte,
-#: n_parts_max, sa_max, block_size, mode, time_lo, time_hi, variable,
-#: bps, hlen, nch_hdr
+#: pos, valid, walk_ok, end_byte, n_parts_max, sa_max, block_size, mode,
+#: time_lo, time_hi, variable, bps, hlen, nch_hdr.
+#: CONTRACT: 'valid' is valid & WALKABLE (header parse + CRC-8 ok AND
+#: shape-matched to the stream -- the same predicate the device uses to
+#: compact walk lanes), NOT raw sync validity: the host's walk_rank =
+#: cumsum(valid) must reproduce the device's compaction rank exactly
+#: (pipeline_seg.py), so the two predicates must never diverge.
 SUMMARY_COLS = ("pos", "valid", "walk_ok", "end_byte", "n_parts", "sa",
                 "block_size", "mode", "time_lo", "time_hi", "variable",
                 "bps", "hlen", "nch_hdr")

@@ -94,6 +94,42 @@ def decode_batch_sharded(batch, mesh=None):
                          lane_quantum=lane_quantum(mesh))
 
 
+def _calibrate_segmentation_sharded(datas, mesh):
+    """Sharded analog of ``pipeline._calibrate_segmentation``: time one
+    sync'd run of each path over the mesh and cache the faster choice in
+    the same per-process slot (the compiled programs differ only in
+    sharding, so the single cache stays coherent)."""
+    import time as _time
+
+    from ..pipeline import _SEG_AUTO, extract_streams_bits, _native_mod
+    from ..pipeline_bits import decode_raw_bits_device
+    from ..pipeline_seg import decode_streams_segmented
+
+    native = _native_mod()
+    d_seg = decode_streams_segmented(datas, mesh=mesh)
+    if not getattr(d_seg, "segmented", False):
+        if getattr(d_seg, "seg_engaged", False):
+            _SEG_AUTO["choice"] = "host"
+        return "host"
+
+    def host_run():
+        braws, mode = extract_streams_bits(datas, native)
+        return decode_raw_bits_device(braws, lane_quantum(mesh), mode,
+                                      mesh=mesh)
+
+    d_seg.sync()
+    host_run().sync()
+    t0 = _time.perf_counter()
+    decode_streams_segmented(datas, mesh=mesh).sync()
+    t_dev = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    host_run().sync()
+    t_host = _time.perf_counter() - t0
+    choice = "device" if t_dev < t_host else "host"
+    _SEG_AUTO["choice"] = choice
+    return choice
+
+
 def decode_streams_sharded(datas, mesh=None, use_native=True,
                            segmentation=None):
     """Decode many FLAC streams with frames sharded across all chips --
@@ -121,6 +157,11 @@ def decode_streams_sharded(datas, mesh=None, use_native=True,
     if use_native and not os.environ.get("CLAXON_TPU_NO_BITS"):
         native = _native_mod()
         if native is not None:
+            if segmentation == "auto":
+                from ..pipeline import _SEG_AUTO
+                segmentation = (_SEG_AUTO["choice"]
+                                or _calibrate_segmentation_sharded(
+                                    datas, mesh))
             if segmentation == "device":
                 from ..pipeline_seg import decode_streams_segmented
                 return decode_streams_segmented(

@@ -739,9 +739,14 @@ def _calibrate_segmentation(datas, use_native, lane_quantum):
     d_seg = decode_streams_device(datas, use_native, lane_quantum,
                                   "device")
     if not getattr(d_seg, "segmented", False):
-        # The device-demux path cannot engage on this shape at all;
-        # don't burn calibration runs (and don't cache: a later corpus
-        # may engage).
+        if getattr(d_seg, "seg_engaged", False):
+            # The fused demux really ran and every stream STILL fell
+            # back (e.g. >32-bit codes everywhere): cache "host" so
+            # auto doesn't re-pay the doomed upload + demux + summary
+            # round trip on every subsequent batch.
+            _SEG_AUTO["choice"] = "host"
+        # Otherwise the path was rejected on shape alone (cheap);
+        # don't cache: a later corpus may engage.
         return "host", d_seg
     d_seg.sync()
     decode_streams_device(datas, use_native, lane_quantum, "host").sync()

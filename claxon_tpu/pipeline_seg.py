@@ -206,8 +206,14 @@ class _SegPending:
         self.upload_bytes = 0
 
 
-def _host_fallback(datas, lane_quantum, mesh=None):
-    from .pipeline import decode_streams_device
+def _host_fallback(datas, lane_quantum, mesh=None, per_stream=False):
+    from .pipeline import decode_streams_device, _L_QUANTUM
+    if lane_quantum is None:
+        if mesh is not None:
+            from .parallel.mesh import lane_quantum as _mesh_lq
+            lane_quantum = _mesh_lq(mesh)
+        else:
+            lane_quantum = _L_QUANTUM
     if mesh is not None:
         from .pipeline import extract_streams_bits, _native_mod
         native = _native_mod()
@@ -216,10 +222,15 @@ def _host_fallback(datas, lane_quantum, mesh=None):
             braws, mode = extract_streams_bits(datas, native)
             return decode_raw_bits_device(braws, lane_quantum, mode,
                                           mesh=mesh)
-    # Per-stream fallback batches are a handful of odd streams; the
-    # TPU's 128-lane quantum would pad their per-lane uploads ~20x (int32
-    # second-minor tiles at 8 sublanes, so L=8 wastes nothing on chip).
-    return decode_streams_device(datas, lane_quantum=min(lane_quantum, 8),
+    if per_stream:
+        # Per-stream fallback batches are a handful of odd streams; the
+        # TPU's 128-lane quantum would pad their per-lane uploads ~20x
+        # (int32 second-minor tiles at 8 sublanes, so L=8 wastes nothing
+        # on chip). Whole-batch fallbacks keep the caller's quantum --
+        # an 8-lane quantum there would mint a fresh compile class per
+        # batch composition.
+        lane_quantum = min(lane_quantum, 8)
+    return decode_streams_device(datas, lane_quantum=lane_quantum,
                                  segmentation="host")
 
 
@@ -534,7 +545,12 @@ def finish_segmented(pending):
             starts = np.concatenate(crc_starts).astype(np.int32)
             ends_a = np.concatenate(crc_ends).astype(np.int32)
             n = len(starts)
-            fq = 8 if mesh is None else max(8, int(mesh.devices.size))
+            # The frame axis shards over the mesh: start from a multiple
+            # of the device count (lcm keeps doubling divisible even for
+            # non-power-of-two meshes) so the sharded CRC program never
+            # sees an indivisible axis.
+            import math
+            fq = 8 if mesh is None else math.lcm(8, int(mesh.devices.size))
             while fq < n:
                 fq *= 2
             se = np.stack([np.pad(starts, (0, fq - n)),
@@ -553,7 +569,7 @@ def finish_segmented(pending):
     if fb_streams:
         fb_streams = sorted(set(fb_streams))
         fb_dd = _host_fallback([datas[i] for i in fb_streams], lane_quantum,
-                               mesh)
+                               mesh, per_stream=True)
         fb_plans, fb_pcms = fb_dd._raw_plans
         for j, i in enumerate(fb_streams):
             results[i] = fb_dd.results[j]
@@ -569,8 +585,13 @@ def finish_segmented(pending):
 
     dd = DeviceDecoded(results, [], [], dispatches)
     dd._raw_plans = (plans, pcms)
-    # marker: the device-demux path really engaged (for >= 1 stream).
+    # markers: segmented = at least one stream decoded via the device
+    # demux; seg_engaged = the fused demux ran at all (even if every
+    # stream then fell back) -- segmentation="auto" uses the distinction
+    # to cache "host" for corpora whose demux attempt is always wasted
+    # while staying uncached on cheap shape rejections.
     dd.segmented = len(fb_streams) < len(datas)
+    dd.seg_engaged = True
     dd.fallback_streams = list(fb_streams)
     if crc_pairs:
         dd.crc_check = crc_pairs

@@ -328,3 +328,105 @@ def test_auto_segmentation_calibrates_and_matches():
             assert np.array_equal(g.pcm, w)
     finally:
         pl._SEG_AUTO["choice"] = saved
+
+
+def test_host_fallback_lane_quantum(monkeypatch):
+    """Round-4 review: whole-batch fallbacks must keep the caller's
+    quantum (an 8-lane quantum would mint a fresh compile class per
+    batch composition), and lane_quantum=None must resolve to the
+    default rather than TypeError; per-stream fallbacks clamp to 8."""
+    import claxon_tpu.pipeline as pl
+    import claxon_tpu.pipeline_seg as ps
+
+    seen = []
+    real = pl.decode_streams_device
+
+    def spy(datas, use_native=True, lane_quantum=pl._L_QUANTUM,
+            segmentation=None):
+        seen.append(lane_quantum)
+        return real(datas, use_native, lane_quantum, segmentation)
+
+    monkeypatch.setattr(pl, "decode_streams_device", spy)
+    data = encode_flac(synth_music(1500, channels=2, bps=16, seed=5),
+                       44100, 16, block_size=1024)
+    ps._host_fallback([data], None).to_host()
+    ps._host_fallback([data], 128, per_stream=True).to_host()
+    assert seen == [pl._L_QUANTUM, 8]
+
+
+def test_auto_caches_host_when_demux_engages_but_all_streams_fall_back():
+    """A corpus whose every stream walk-rejects (128 partitions > the
+    device cap) engages the fused demux and then falls back entirely;
+    auto must cache "host" so later batches don't re-pay the doomed
+    upload + demux + summary round trip."""
+    import claxon_tpu.pipeline as pl
+
+    saved = pl._SEG_AUTO["choice"]
+    pl._SEG_AUTO["choice"] = None
+    try:
+        odd = [encode_flac(synth_music(9000 + 37 * k, channels=2, bps=16,
+                                       seed=90 + k), 44100, 16,
+                           block_size=4096, partition_order=7)
+               for k in range(2)]
+        want = [s.pcm for s in _host(odd).to_host()]
+        dd = pl.decode_streams_device(odd, segmentation="auto")
+        for g, w in zip(dd.to_host(), want):
+            assert np.array_equal(g.pcm, w)
+        assert pl._SEG_AUTO["choice"] == "host"
+    finally:
+        pl._SEG_AUTO["choice"] = saved
+
+
+def test_auto_does_not_cache_on_shape_rejection():
+    """A cheap shape rejection (3 channels) must NOT pin the process
+    choice: a later corpus may engage and win on device."""
+    import claxon_tpu.pipeline as pl
+
+    saved = pl._SEG_AUTO["choice"]
+    pl._SEG_AUTO["choice"] = None
+    try:
+        pcm = synth_music(2000, channels=3, bps=16, seed=11)
+        data = encode_flac(pcm, 44100, 16, block_size=1024)
+        pl.decode_streams_device([data], segmentation="auto").to_host()
+        assert pl._SEG_AUTO["choice"] is None
+    finally:
+        pl._SEG_AUTO["choice"] = saved
+
+
+def test_segmented_sharded_non_pow2_mesh():
+    """The seg path's sharded programs must accept a 3-device mesh: the
+    CRC frame-axis padding starts from lcm(8, n_devices), so doubling
+    never produces an axis the mesh cannot divide."""
+    from claxon_tpu.parallel.mesh import make_mesh
+    from claxon_tpu.pipeline_seg import decode_streams_segmented
+
+    datas = [encode_flac(synth_music(2600 + 301 * k, channels=2, bps=16,
+                                     seed=70 + k), 44100, 16,
+                         block_size=1024) for k in range(3)]
+    want = _host(datas).to_host()
+    dd = decode_streams_segmented(datas, mesh=make_mesh(3))
+    assert getattr(dd, "segmented", False)
+    for w, g in zip(want, dd.to_host()):
+        assert np.array_equal(w.pcm, g.pcm)
+
+
+def test_sharded_auto_is_honored():
+    """segmentation="auto" on decode_streams_sharded must calibrate (or
+    reuse) the per-process choice, not silently take the host walk."""
+    import claxon_tpu.pipeline as pl
+    from claxon_tpu.parallel.mesh import make_mesh, decode_streams_sharded
+
+    saved = pl._SEG_AUTO["choice"]
+    pl._SEG_AUTO["choice"] = None
+    try:
+        datas = [encode_flac(synth_music(2000 + 100 * k, channels=2,
+                                         bps=16, seed=40 + k), 44100, 16,
+                             block_size=1024) for k in range(2)]
+        want = [s.pcm for s in _host(datas).to_host()]
+        got = decode_streams_sharded(datas, mesh=make_mesh(2),
+                                     segmentation="auto")
+        for g, w in zip(got, want):
+            assert np.array_equal(g.pcm, w)
+        assert pl._SEG_AUTO["choice"] in ("host", "device")
+    finally:
+        pl._SEG_AUTO["choice"] = saved
