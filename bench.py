@@ -241,6 +241,11 @@ def time_device_resident(pairs, total_samples, seconds, max_reps=60):
     if t1 > seconds:
         r3 = min(r3, 2 * r1)
         r2 = min(r2, max(r1 + 1, (r1 + r3) // 2))
+        if r2 >= r3:
+            # Three distinct rep counts can't be formed (r1 == 1, so the
+            # budget clamp collapses r2 into r3): report the conservative
+            # single-window rate, as the max_reps < 3 branch does.
+            return total_samples * r1 / t1 / 1e6, r1
     conservative = total_samples * r1 / t1 / 1e6
     spent = t1
     for _attempt in range(2):
@@ -348,9 +353,10 @@ def main():
     mixed_dev_msamples_s, _ = time_to_device(
         mixed_async, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
     h2d_probes.append(probe_h2d())
-    # Continuity figures: BOTH paths are always reported. The losing
-    # path gets a short window under the same methodology; the segmented
-    # figure is 0 when the device demux never engaged on this corpus.
+    # Continuity figures: BOTH paths are always reported, for BOTH
+    # corpora (VERDICT r4 item 4). The losing path gets a short window
+    # under the same methodology; a segmented figure is 0 when the
+    # device demux never engaged on that corpus.
     other = "host" if seg_choice == "device" else "device"
     other_msamples_s = 0.0
     if seg_choice == "device" or seg_engaged:
@@ -361,6 +367,18 @@ def main():
                            else dev_msamples_s)
     segmented_msamples_s = (dev_msamples_s if seg_choice == "device"
                             else other_msamples_s)
+    other_m = "host" if mixed_choice == "device" else "device"
+    mixed_other_msamples_s = 0.0
+    if mixed_choice == "device" or mixed_engaged:
+        mixed_other_msamples_s, _ = time_to_device(
+            lambda b: decode_streams_device_async(b, segmentation=other_m),
+            mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
+    mixed_hostwalk_msamples_s = (mixed_other_msamples_s
+                                 if mixed_choice == "device"
+                                 else mixed_dev_msamples_s)
+    mixed_segmented_msamples_s = (mixed_dev_msamples_s
+                                  if mixed_choice == "device"
+                                  else mixed_other_msamples_s)
     phase1_mbps = sorted(h2d_probes)[1]
 
     # ---- Phase 1b: chip decode rate with the compressed corpus resident
@@ -373,15 +391,29 @@ def main():
     resident_msamples_s, resident_reps = time_device_resident(
         pairs, total_samples, TO_DEVICE_SECONDS / 2)
     pairs = None
-    # The segmented path's resident rate (fused demux INCLUDED) is
-    # always reported when it engages -- VERDICT r3 item 1's figure.
+    # BOTH paths' resident rates are always reported (VERDICT r4 item
+    # 4: in r04 `device_resident_msamples_s` silently switched from the
+    # host-walk decode-only rate to the segmented-with-demux rate when
+    # auto picked the segmented path, breaking round-over-round
+    # comparability). The segmented figure includes the fused demux; the
+    # host-walk figure is decode-only (bases/deltas staged by the C++
+    # walk) -- r02's 194.4 is the host-walk lineage.
     seg_resident_msamples_s = (resident_msamples_s
                                if seg_choice == "device" else 0.0)
+    hostwalk_resident_msamples_s = (resident_msamples_s
+                                    if seg_choice != "device" else 0.0)
     if seg_choice != "device" and seg_engaged:
         pairs = capture_programs(
             lambda b: decode_streams_device(b, segmentation="device"),
             datas)
         seg_resident_msamples_s, _ = time_device_resident(
+            pairs, total_samples, TO_DEVICE_SECONDS / 4)
+        pairs = None
+    if seg_choice == "device":
+        pairs = capture_programs(
+            lambda b: decode_streams_device(b, segmentation="host"),
+            datas)
+        hostwalk_resident_msamples_s, _ = time_device_resident(
             pairs, total_samples, TO_DEVICE_SECONDS / 4)
         pairs = None
 
@@ -531,9 +563,15 @@ def main():
                                 else "hostwalk",
         "to_device_hostwalk_msamples_s": round(hostwalk_msamples_s, 3),
         "to_device_segmented_msamples_s": round(segmented_msamples_s, 3),
+        "to_device_mixed_hostwalk_msamples_s":
+            round(mixed_hostwalk_msamples_s, 3),
+        "to_device_mixed_segmented_msamples_s":
+            round(mixed_segmented_msamples_s, 3),
         "link_efficiency": round(eff, 3),
         "link_efficiency_mixed": round(eff_mixed, 3),
         "device_resident_msamples_s": round(resident_msamples_s, 3),
+        "device_resident_hostwalk_msamples_s":
+            round(hostwalk_resident_msamples_s, 3),
         "device_resident_segmented_msamples_s":
             round(seg_resident_msamples_s, 3),
         "device_resident_reps": resident_reps,

@@ -371,6 +371,7 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
         w0 = _sel_row(slab, wi, 0, _SLACK + 1)
         w1 = _sel_row(slab, wi + 1, 1, _SLACK + 2)
         ks8 = []
+        ds8 = []
         for j in range(32):
             t = c * 32 + j
             active = resd_l & (t >= order_l) & (t < bs_l)
@@ -402,13 +403,26 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
             nb = jnp.where(first,
                            jnp.where(t == order_l, ps_s, t + ps_s), nb)
             ks8.append(k_new.astype(jnp.int8))
-        return (cur, k, nb, bad), (emit_base, jnp.stack(ks8, axis=0))
+            # Per-code bit advance (the DELTA the single-pass decode
+            # kernel consumes, ops/entropy.py::decode_residual_bits_
+            # stream_delta): na already includes the Rice parameter
+            # width at a partition's first code and is 0 at inactive
+            # positions -- exactly the host-walk delta semantics. The
+            # emission stays HBM-resident; it never crosses the link.
+            ds8.append(na.astype(jnp.int8))
+        return (cur, k, nb, bad), (emit_base, jnp.stack(ks8, axis=0),
+                                   jnp.stack(ds8, axis=0))
 
     nb0 = jnp.where(order > 0, order, 0)
-    (end_res, _, _, bad), (base_c, k_c) = jax.lax.scan(
+    (end_res, _, _, bad), (base_c, k_c, d_c) = jax.lax.scan(
         chunk_step, (pos, zero, nb0, jnp.zeros(F, bool)),
         jnp.arange(NC, dtype=jnp.int32))
     ok &= ~bad
+    # Per-sample deltas, chunk-major like the decode kernels' (L, NC*32)
+    # layout. Verbatim/constant lanes emit zeros (never active in the
+    # walk); the delta decode kernel synthesizes verbatim deltas from the
+    # bit depth closed-form and constants carry no codes at all.
+    deltas = d_c.transpose(2, 0, 1).reshape(F, NC * 32)
 
     # Chunk bases: the cursor before the first code of each chunk
     # (pre-Rice-parameter, matching the C++ walker's ensure_chunk) --
@@ -419,8 +433,11 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
     bases = jnp.where(is_verb[:, None], vb, bases)
 
     # Per-partition Rice parameters: k as read at each partition's first
-    # code (position t_p of the per-code k emission).
-    k_flat = _i(k_c.transpose(2, 0, 1).reshape(F, T))
+    # code (position t_p of the per-code k emission). The emission is
+    # chunk-padded to NC * 32 >= T samples (T itself need not be a
+    # multiple of 32 -- e.g. the 65535 STREAMINFO bucket); t_p below is
+    # clipped to T - 1, so slicing the pad off keeps every take in range.
+    k_flat = _i(k_c.transpose(2, 0, 1).reshape(F, NC * 32))[:, :T]
     p_arr = jnp.arange(P_CAP, dtype=jnp.int32)[None, :]
     t_p = jnp.clip(jnp.where(p_arr == 0, order[:, None],
                              p_arr * ps_s[:, None]), 0, T - 1)
@@ -458,6 +475,7 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
         "ks": ks,
         "bases": bases,
         "sa_words": sa_words,
+        "deltas": deltas,
     }
     return out, end, ok
 

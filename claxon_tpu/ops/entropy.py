@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["decode_residual_bits", "decode_residual_bits_stream",
+           "decode_residual_bits_stream_delta",
            "decode_residual_bits_reference",
            "decode_residual_bits_stream_reference"]
 
@@ -272,6 +273,109 @@ def decode_residual_bits_stream(stream, bases, ks, ps, orders, pbits, flags,
     t = jnp.arange(T, dtype=jnp.int32)[None, :]
     warm_t = jnp.pad(warm, ((0, 0), (0, T - warm.shape[1])))
     return jnp.where(t < orders[:, None], warm_t, x)
+
+
+@partial(jax.jit, static_argnames=("n_parts_max", "sa", "chunk"))
+def decode_residual_bits_stream_delta(stream, bases, deltas, ks, ps,
+                                      orders, pbits, flags, warm, lengths,
+                                      n_parts_max=1, sa=8, chunk=32):
+    """Single-pass segmented entropy decode fed by the walk's deltas.
+
+    The segmented path's production kernel: the on-device walk
+    (ops.demux) already advances code by code to find every Rice
+    boundary, so re-locating them here with the 32-step in-chunk scan of
+    ``decode_residual_bits_stream`` pays the boundary discovery twice
+    per sample. This kernel instead consumes the walk's per-code bit
+    advances (``deltas``, HBM-resident -- they never cross the link) and
+    decodes every sample INDEPENDENTLY: one in-chunk exclusive cumsum
+    turns deltas into code end offsets, and a one-hot select over each
+    chunk's gathered stream words reads the quotient-free remainder --
+    no sequential dependence anywhere. The quotient itself is implied:
+    q = delta - 1 - k - pbits*[partition-first], exactly the
+    ``decode_residual_bits`` delta semantics (module docstring).
+
+    Verbatim lanes synthesize deltas = bit depth on the fly (the walk
+    does not step through verbatim fields; their chunk bases are
+    closed-form), and constant lanes carry no codes.
+
+    Args match ``decode_residual_bits_stream`` plus:
+      deltas: (L, NC*chunk) int8 per-sample bit advances (0 at warm-up
+              and padding positions; includes the Rice parameter width
+              at each partition's first code).
+
+    Reference parity: the one-pass hot loop `src/subframe.rs:309-351`
+    split into walk (boundaries) + this (values), u32-wrapping like
+    `src/subframe.rs:156-170`.
+    """
+    L, NC = bases.shape
+    T = NC * chunk
+    W = stream.shape[0]
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    verb = (flags[:, None] & 1) != 0
+    has_codes = (flags[:, None] & 2) == 0
+    ps_b = jnp.maximum(ps, 1)[:, None]
+
+    # Partition index + per-sample k (one-hot over the static bound).
+    if n_parts_max > 1:
+        p = jnp.zeros((L, T), dtype=jnp.int32)
+        for j in range(1, n_parts_max):
+            p = p + _i(t >= j * ps_b)
+        k = jnp.zeros((L, T), dtype=jnp.int32)
+        for j in range(n_parts_max):
+            k = jnp.where(p == j, ks[:, j][:, None], k)
+    else:
+        p = jnp.zeros((L, T), dtype=jnp.int32)
+        k = jnp.broadcast_to(ks[:, 0][:, None], (L, T))
+
+    act = (t >= orders[:, None]) & (t < lengths[:, None]) & has_codes
+    d = jnp.where(verb, jnp.where(act, k, 0), deltas.astype(jnp.int32))
+
+    # A partition's first code also spans the parameter bits.
+    first = t == jnp.where(p == 0, orders[:, None], p * ps_b)
+    q = d - 1 - k - jnp.where(first, pbits[:, None], 0)
+
+    # In-chunk exclusive cumsum -> each code's end offset from the
+    # chunk's base bit; the remainder's first bit is end - k.
+    d3 = d.reshape(L, NC, chunk)
+    ol3 = jnp.cumsum(d3, axis=2) - d3
+    rpos = (bases & 31)[:, :, None] + ol3 + d3 - k.reshape(L, NC, chunk)
+
+    # Gather each chunk's words straight from the stream (same gather as
+    # the scan kernel; the host's SA class covers base slack + max span).
+    wi0 = bases >> 5
+    idx = wi0[:, :, None] + jnp.arange(sa, dtype=jnp.int32)[None, None, :]
+    slots = jnp.take(stream, jnp.clip(idx, 0, W - 1), axis=0)
+
+    # 32-bit window at rpos via one-hot selects over the slot words.
+    wi = jnp.clip(rpos >> 5, 0, sa - 1)
+    off = rpos & 31
+    w0 = jnp.zeros((L, NC, chunk), dtype=jnp.int32)
+    w1 = jnp.zeros((L, NC, chunk), dtype=jnp.int32)
+    for j in range(sa):
+        col = slots[:, :, j][:, :, None]
+        w0 = jnp.where(wi == j, col, w0)
+        if j + 1 < sa:
+            w1 = jnp.where(wi == j, slots[:, :, j + 1][:, :, None], w1)
+    w0 = w0.reshape(L, T)
+    w1 = w1.reshape(L, T)
+    off = off.reshape(L, T)
+    win = _i(_u(w0) << _u(off)) | jnp.where(
+        off == 0, 0, _i(_u(w1) >> _u(jnp.where(off == 0, 1, 32 - off))))
+    r = jnp.where(k == 0, 0,
+                  _i(_u(win) >> _u(jnp.where(k == 0, 1, 32 - k))))
+
+    # Rice: u32-wrapping (q << k) | r, then zig-zag to signed.
+    v = _i((_u(q) << _u(jnp.minimum(k, 31))) | _u(r))
+    rice = jnp.where(v & 1, _i(~(_u(v) >> 1)), _i(_u(v) >> 1))
+    # Verbatim: sign-extend the k-bit field.
+    sbit = _i(_u(jnp.int32(1)) << _u(jnp.maximum(k - 1, 0)))
+    vb = (r ^ sbit) - sbit
+    res = jnp.where(verb, vb, rice)
+
+    warm_t = jnp.pad(warm, ((0, 0), (0, T - warm.shape[1])))
+    return jnp.where(t < orders[:, None], warm_t,
+                     jnp.where(d > 0, res, 0))
 
 
 def decode_residual_bits_stream_reference(stream, bases, ks, ps, orders,

@@ -98,7 +98,10 @@ def _calibrate_segmentation_sharded(datas, mesh):
     """Sharded analog of ``pipeline._calibrate_segmentation``: time one
     sync'd run of each path over the mesh and cache the faster choice in
     the same per-process slot (the compiled programs differ only in
-    sharding, so the single cache stays coherent)."""
+    sharding, so the single cache stays coherent). Returns
+    ``(choice, winner's DeviceDecoded)`` so the caller consumes the
+    already-computed result instead of re-uploading the batch for a
+    fifth decode (mirrors ``pipeline._calibrate_segmentation``)."""
     import time as _time
 
     from ..pipeline import _SEG_AUTO, extract_streams_bits, _native_mod
@@ -110,7 +113,7 @@ def _calibrate_segmentation_sharded(datas, mesh):
     if not getattr(d_seg, "segmented", False):
         if getattr(d_seg, "seg_engaged", False):
             _SEG_AUTO["choice"] = "host"
-        return "host"
+        return "host", d_seg
 
     def host_run():
         braws, mode = extract_streams_bits(datas, native)
@@ -120,14 +123,16 @@ def _calibrate_segmentation_sharded(datas, mesh):
     d_seg.sync()
     host_run().sync()
     t0 = _time.perf_counter()
-    decode_streams_segmented(datas, mesh=mesh).sync()
+    d_seg = decode_streams_segmented(datas, mesh=mesh)
+    d_seg.sync()
     t_dev = _time.perf_counter() - t0
     t0 = _time.perf_counter()
-    host_run().sync()
+    d_host = host_run()
+    d_host.sync()
     t_host = _time.perf_counter() - t0
     choice = "device" if t_dev < t_host else "host"
     _SEG_AUTO["choice"] = choice
-    return choice
+    return choice, (d_seg if choice == "device" else d_host)
 
 
 def decode_streams_sharded(datas, mesh=None, use_native=True,
@@ -153,15 +158,17 @@ def decode_streams_sharded(datas, mesh=None, use_native=True,
     if mesh is None:
         mesh = make_mesh()
     if segmentation is None:
-        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "auto")
     if use_native and not os.environ.get("CLAXON_TPU_NO_BITS"):
         native = _native_mod()
         if native is not None:
             if segmentation == "auto":
                 from ..pipeline import _SEG_AUTO
-                segmentation = (_SEG_AUTO["choice"]
-                                or _calibrate_segmentation_sharded(
-                                    datas, mesh))
+                segmentation = _SEG_AUTO["choice"]
+                if segmentation is None:
+                    _choice, dd = _calibrate_segmentation_sharded(
+                        datas, mesh)
+                    return dd.start_fetch().to_host()
             if segmentation == "device":
                 from ..pipeline_seg import decode_streams_segmented
                 return decode_streams_segmented(

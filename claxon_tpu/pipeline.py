@@ -777,14 +777,16 @@ def decode_streams_device(datas, use_native=True,
     sample-shipping path. ``segmentation="device"`` (or
     CLAXON_TPU_SEGMENTATION=device) also moves frame segmentation and
     subframe demux onto the chip (pipeline_seg; the host stops walking
-    payload bytes entirely). ``segmentation="auto"`` measures both paths
-    on the first batch that engages the device demux and uses the faster
-    one for the rest of the process. All paths are bit-exact.
+    payload bytes entirely). The default is ``"auto"``: measure both
+    paths on the first batch that engages the device demux and use the
+    faster one for the rest of the process -- the rule bench.py
+    headlines (CLAXON_TPU_SEGMENTATION=host|device pins a path). All
+    paths are bit-exact.
     """
     import os
 
     if segmentation is None:
-        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "auto")
     if segmentation == "auto":
         segmentation = _SEG_AUTO["choice"]
         if segmentation is None:
@@ -842,7 +844,7 @@ def decode_streams_device_async(datas, use_native=True,
     import os
 
     if segmentation is None:
-        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "host")
+        segmentation = os.environ.get("CLAXON_TPU_SEGMENTATION", "auto")
     if segmentation == "auto":
         segmentation = _SEG_AUTO["choice"]
         if segmentation is None:

@@ -136,16 +136,32 @@ def _sa_class(s):
 
 
 _WALK_KEYS = ("order", "shift", "wasted", "ps", "pbits", "flags", "warm",
-              "coefs", "ks", "bases")
+              "coefs", "ks", "bases", "deltas")
+
+
+def _seg_decode_program(P, SA, Tb, out_packed, mesh=None):
+    """Entry point: reads the kernel knob so tests can A/B without
+    poisoning the compile cache (the knob is part of the cache key)."""
+    import os
+
+    use_delta = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "delta") != "scan"
+    return _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh)
 
 
 @lru_cache(maxsize=None)
-def _seg_decode_program(P, SA, out_packed, mesh=None):
+def _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh=None):
     """The segmented-path decode program: gather the chained lanes from
     the walk outputs, then the production entropy decode -> synthesis ->
     epilogue -> transfer packing. All big inputs are already on device
     (walk outputs + the byte-swapped stream); only the tiny (L, 3) plan
     array [row, length, mode] crosses the link.
+
+    ``use_delta`` (default; CLAXON_TPU_SEG_ENTROPY=scan reverts) feeds
+    the walk's per-code delta emissions to the fully-parallel
+    ``decode_residual_bits_stream_delta`` kernel -- the single-pass
+    design: the walk already located every code, so the decode must not
+    re-scan the chunk (the scan kernel's 32 sequential steps re-pay the
+    boundary discovery the walk just did).
 
     Under a ``mesh`` the plan's lane axis shards over LANE_AXIS and the
     stream + walk descriptor arrays replicate (frames are independent,
@@ -155,24 +171,38 @@ def _seg_decode_program(P, SA, out_packed, mesh=None):
     program`)."""
     import jax
 
-    from .ops.entropy import decode_residual_bits_stream
+    from .ops.entropy import (decode_residual_bits_stream,
+                              decode_residual_bits_stream_delta)
     from .ops.epilogue import apply_epilogue, pack_int16_pairs
     from .ops.predict import synthesize_best
     from .pipeline import _split_lanes, _FETCH_CHUNKS
 
     n_chunks = _FETCH_CHUNKS if mesh is None else 1
 
+    # The dispatch's T bucket can be smaller than the walk group's (a
+    # merged group walks every frame at the group NC; a per-frame-bucket
+    # dispatch decodes at its own): slice the walk arrays' chunk axis
+    # down so synthesis FLOPs and d2h PCM bytes track the FRAME size.
+    NC_b = (Tb + 31) // 32
+
     def prog(stream, order, shift, wasted, ps, pbits, flags, warm, coefs,
-             ks, bases, plan):
+             ks, bases, deltas, plan):
         jnp = _jnp()
         rows = plan[:, 0]
         lengths = plan[:, 1]
         L = rows.shape[0]
         pair_modes = plan[:, 2].reshape(L // 2, 2)[:, 0]
         g = lambda a: jnp.take(a, rows, axis=0)
-        x = decode_residual_bits_stream(
-            stream, g(bases), g(ks)[:, :P], g(ps), g(order), g(pbits),
-            g(flags), g(warm), lengths, n_parts_max=P, sa=SA)
+        if use_delta:
+            x = decode_residual_bits_stream_delta(
+                stream, g(bases)[:, :NC_b], g(deltas)[:, :NC_b * 32],
+                g(ks)[:, :P], g(ps), g(order), g(pbits), g(flags),
+                g(warm), lengths, n_parts_max=P, sa=SA)
+        else:
+            x = decode_residual_bits_stream(
+                stream, g(bases)[:, :NC_b], g(ks)[:, :P], g(ps), g(order),
+                g(pbits), g(flags), g(warm), lengths, n_parts_max=P,
+                sa=SA)
         out = synthesize_best(x, g(coefs), g(shift), g(order), lengths)
         out = apply_epilogue(out, g(wasted), pair_modes)
         if out_packed:
@@ -187,7 +217,7 @@ def _seg_decode_program(P, SA, out_packed, mesh=None):
 
     repl = NamedSharding(mesh, PartitionSpec())
     lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
-    return jax.jit(prog, in_shardings=(repl,) * 11 + (lanes,))
+    return jax.jit(prog, in_shardings=(repl,) * 12 + (lanes,))
 
 
 class _SegPending:
@@ -196,7 +226,7 @@ class _SegPending:
     ``decode_streams_segmented``) turns it into a ``DeviceDecoded``."""
 
     __slots__ = ("datas", "lane_quantum", "sis", "groups", "upload_bytes",
-                 "marks", "mark", "mesh")
+                 "marks", "mark", "mesh", "pre_fallback")
 
     def __init__(self, datas, lane_quantum, mesh=None):
         self.datas = datas
@@ -204,6 +234,7 @@ class _SegPending:
         self.mesh = mesh
         self.groups = []
         self.upload_bytes = 0
+        self.pre_fallback = []
 
 
 def _host_fallback(datas, lane_quantum, mesh=None, per_stream=False):
@@ -285,11 +316,17 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
         si, pos = _read_metadata(d)
         sis.append(si)
         payloads.append(np.frombuffer(d, np.uint8)[pos:])
-    if any(si.channels > 2 for si in sis):
-        return None  # device stereo decorrelation is 2-lane
     tbv = np.asarray(_T_BUCKETS, np.int64)
-    if any(si.max_block_size > int(tbv[-1]) for si in sis):
+    # Streams the device demux cannot represent AT ALL (> 2 channels:
+    # the device stereo decorrelation is 2-lane; an out-of-ladder
+    # STREAMINFO block size) take the per-stream host fallback -- one
+    # such stream must not reject the whole batch from the device path.
+    pre_fb = [i for i, si in enumerate(sis)
+              if si.channels > 2 or si.max_block_size > int(tbv[-1])]
+    if len(pre_fb) == len(datas):
         return None
+    pending.pre_fallback = pre_fb
+    pre_fb = set(pre_fb)
     pending.sis = sis
     _mark("metadata")
 
@@ -300,10 +337,32 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
     # breaks the chain (-> host fallback, reference-exact errors).
     si_groups = {}
     for gi, si in enumerate(sis):
+        if gi in pre_fb:
+            continue
         T = int(tbv[np.searchsorted(tbv, max(si.max_block_size, 1))])
         si_groups.setdefault((T, si.channels), []).append(gi)
 
-    for (T, nch), g_streams in si_groups.items():
+    # Merge same-channel-count groups whose T buckets are within 4x of
+    # the largest (VERDICT r4 item 3): every group is one more upload +
+    # fused-demux dispatch + summary round trip per batch -- the fixed
+    # costs that lost the mixed corpus -- while walking a small-block
+    # stream at a <= 4x larger NC only costs bounded device FLOPs (the
+    # decode dispatches below re-bucket per FRAME, so decode pays
+    # nothing). Groups past the ratio (e.g. one 65535-bucket stream
+    # amid 1152-block streams) stay separate.
+    merged = {}
+    for (T, nch), g in sorted(si_groups.items(), reverse=True):
+        placed = False
+        for (Tm, nchm) in merged:
+            if nchm == nch and Tm <= 4 * T:
+                merged[(Tm, nchm)].extend(g)
+                placed = True
+                break
+        if not placed:
+            merged[(T, nch)] = list(g)
+
+    for (T, nch), g_streams in merged.items():
+        g_streams = sorted(g_streams)
         g_payloads = [payloads[i] for i in g_streams]
         sizes = [p.nbytes for p in g_payloads]
         wcs = [(s + 3) // 4 for s in sizes]
@@ -350,7 +409,7 @@ def finish_segmented(pending):
     pipeline (bit-exact, reference-exact errors) on any chain break."""
     from .ops.seg_parse import SUMMARY_COLS
     from .pipeline import (DecodedStream, DeviceDecoded, _BucketDispatch,
-                           _LITTLE_ENDIAN, bucket_shape)
+                           _LITTLE_ENDIAN, _T_BUCKETS, bucket_shape)
     from .pipeline_bits import _crc_program, _P_CLASSES
 
     jnp = _jnp()
@@ -373,12 +432,14 @@ def finish_segmented(pending):
     results = [None] * len(datas)
     pcms = [None] * len(datas)
     dispatches, plans, crc_pairs = [], [], []
-    #: global stream indices that leave the device path (chain break,
-    #: walk-rejected frame, demux overflow); host-walked at the end and
-    #: merged back, so ONE odd stream no longer re-uploads the batch.
-    fb_streams = []
+    #: global stream indices that leave the device path (> 2 channels,
+    #: chain break, walk-rejected frame, demux overflow); host-walked at
+    #: the end and merged back, so ONE odd stream no longer re-uploads
+    #: the batch.
+    fb_streams = list(pending.pre_fallback)
     upload_bytes = pending.upload_bytes
     _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
+    _T_BUCKETS_V = np.asarray(_T_BUCKETS, np.int64)
 
     from .ops.seg_parse import DemuxOverflow
 
@@ -485,29 +546,44 @@ def finish_segmented(pending):
                 crc_ends.append(end_byte[chain] + 2)
         _mark("results")
 
-        # ---- decode dispatches: one per P class. Walk lanes are
-        # compacted-walkable-major (row = walk_rank * nch + channel).
+        # ---- decode dispatches: one per (P class, frame T bucket). Walk
+        # lanes are compacted-walkable-major (row = walk_rank * nch +
+        # channel). The T bucket is per FRAME, not the group's (merged
+        # groups walk small-block frames at the group NC, but decoding
+        # them there would pad the synthesis FLOPs and the d2h PCM bytes
+        # by the bucket ratio): the program slices the walk arrays'
+        # chunk axis down to the dispatch bucket.
         g_idx = np.flatnonzero(chained_mask)
         if g_idx.size:
             pcls = _P_CLASSES_V[np.minimum(
                 np.searchsorted(_P_CLASSES_V,
                                 np.maximum(cols["n_parts"][g_idx], 1)),
                 len(_P_CLASSES_V) - 1)]
-            # Merge sparse partition classes upward: every class is one
-            # more program dispatch per batch (a link round trip on this
+            tcls = _T_BUCKETS_V[np.searchsorted(
+                _T_BUCKETS_V, np.maximum(bs_c[g_idx], 1))]
+            # Merge sparse classes upward: every class is one more
+            # program dispatch per batch (a link round trip on this
             # transport) and one more compile class, while padding a few
-            # lanes to a larger n_parts_max only costs device FLOPs.
+            # lanes to a larger n_parts_max / T bucket only costs device
+            # FLOPs. T first (the bigger padding cost), then P.
+            uniqt = list(np.unique(tcls))
+            for ci, Tc in enumerate(uniqt[:-1]):
+                m = tcls == Tc
+                if m.sum() * Tc < 32 * uniqt[ci + 1]:
+                    tcls[m] = uniqt[ci + 1]
             uniq = list(np.unique(pcls))
             for ci, P in enumerate(uniq[:-1]):
                 if (pcls == P).sum() < 32:
                     pcls[pcls == P] = uniq[ci + 1]
-            for P in np.unique(pcls):
-                sub = g_idx[pcls == P]
+            keys = pcls.astype(np.int64) << 32 | tcls.astype(np.int64)
+            for key in np.unique(keys):
+                P, Tb = int(key >> 32), int(key & 0xFFFFFFFF)
+                sub = g_idx[keys == key]
                 # Stream-then-position order makes runs contiguous.
                 sub = sub[np.lexsort((out0_c[sub], c_si[sub]))]
                 n_frames = sub.size
                 n_lanes = n_frames * nch
-                L, Tb = bucket_shape(n_lanes, T, lane_quantum)
+                L, Tb = bucket_shape(n_lanes, Tb, lane_quantum)
                 SA = _sa_class(int(cols["sa"][sub].max()))
                 plan_arr = np.zeros((L, 3), np.int32)
                 rows = (walk_rank[sub][:, None] * nch
@@ -528,7 +604,8 @@ def finish_segmented(pending):
                         for st, en in zip(starts_r, ends_r)]
                 out_packed = (_LITTLE_ENDIAN and Tb % 2 == 0
                               and int(cols["bps"][sub].max()) <= 16)
-                prog = _seg_decode_program(int(P), SA, out_packed, mesh)
+                prog = _seg_decode_program(int(P), SA, Tb, out_packed,
+                                           mesh)
                 args = walk + (jnp.asarray(plan_arr),)
                 upload_bytes += plan_arr.nbytes
                 if out_packed:
@@ -608,13 +685,14 @@ def decode_streams_segmented(datas, lane_quantum=None, mesh=None):
 
     Drop-in sibling of ``pipeline.decode_streams_device`` (returns a
     ``DeviceDecoded``); the host never walks payload bytes. When a
-    stream cannot ride the device-demux path -- a walk-rejected frame
-    (escaped partitions, > 64 partitions, oversized codes...) or a chain
-    break -- only THAT stream falls back to the host-walk bits pipeline
-    (reference-exact error behavior) and its results merge back into the
-    batch; a sync-saturated group (DemuxOverflow) falls back as a group,
-    and batch-shape limits (> 2 channels anywhere, oversized batch)
-    route the whole batch before any upload. All paths are bit-exact.
+    stream cannot ride the device-demux path -- more than 2 channels, a
+    walk-rejected frame (escaped partitions, > 64 partitions, oversized
+    codes...) or a chain break -- only THAT stream falls back to the
+    host-walk bits pipeline (reference-exact error behavior) and its
+    results merge back into the batch; a sync-saturated group
+    (DemuxOverflow) falls back as a group, and an oversized batch
+    (>= 2^27 bytes: int32 bit positions) routes whole before any
+    upload. All paths are bit-exact.
 
     Overlapping callers use ``begin_segmented``/``finish_segmented``
     directly (`pipeline.decode_streams_device_async`) so the summary

@@ -65,6 +65,13 @@ def _ensure_map_count_headroom():
 
 _ensure_map_count_headroom()
 
+# The library default is segmentation="auto" (calibrate on the first
+# engaging batch). Under the suite that would recompile BOTH paths'
+# programs inside every pipeline test on this one-core host; pin the
+# host walk here and let the segmented/auto tests opt in explicitly
+# (test_seg_*, the auto tests monkeypatch the env / pass segmentation=).
+os.environ.setdefault("CLAXON_TPU_SEGMENTATION", "host")
+
 import pytest
 
 

@@ -155,6 +155,26 @@ def test_walk_mono():
     _check_against_oracle(payload, 1024)
 
 
+def test_walk_traces_at_65535_bucket():
+    """The 65535 bucket is the one T that is not a multiple of 32: the
+    per-code k/delta emissions are chunk-padded to NC*32 and must be
+    sliced back to T (regression: reshape(F, T) raised TypeError at
+    trace time, crashing the segmented/auto path on any stream with
+    STREAMINFO max_block_size in (32768, 65535])."""
+    import jax
+    import jax.numpy as jnp
+
+    from claxon_tpu.ops.demux import walk_frames
+
+    stream = jax.ShapeDtypeStruct((4096,), jnp.int32)
+    f = jax.ShapeDtypeStruct((2,), jnp.int32)
+    out, end, ok = jax.eval_shape(
+        lambda s, a, b, c, d: walk_frames(s, a, b, c, d, T=65535, nch=2),
+        stream, f, f, f, f)
+    assert end.shape == (2,)
+    assert out["ks"].shape[0] == 4  # F * nch lanes
+
+
 def test_walk_flags_escaped_partition_not_ok():
     """A hand-built subframe with an escaped Rice partition must flag
     ok=False (the host path then raises the reference's error)."""

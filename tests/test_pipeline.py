@@ -139,3 +139,34 @@ def test_decode_streams_pipelined_matches_scalar():
     for d, dec in zip(datas, res):
         _si, pcm = native.decode_stream_scalar(d)
         assert np.array_equal(dec.pcm, pcm)
+
+
+def test_default_segmentation_is_auto(monkeypatch):
+    """A bare decode_streams_device(datas) must engage the auto
+    calibration (VERDICT r4 item 5: the measured rule -- calibrate,
+    then ride the winner -- is the library default; the env knob and
+    the explicit argument pin a path)."""
+    import claxon_tpu.pipeline as pl
+    from claxon_tpu import native
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    monkeypatch.delenv("CLAXON_TPU_SEGMENTATION", raising=False)
+    monkeypatch.setitem(pl._SEG_AUTO, "choice", None)
+    sentinel = object()
+    calls = []
+
+    def fake_calibrate(datas, use_native, lane_quantum):
+        calls.append(len(datas))
+        return "host", sentinel
+
+    monkeypatch.setattr(pl, "_calibrate_segmentation", fake_calibrate)
+    data = encode_flac(synth_music(2048, channels=2, bps=16, seed=3),
+                       44100, 16, block_size=1024)
+    assert pl.decode_streams_device([data]) is sentinel
+    assert calls == [1]
+    # The async entry point routes through the same default.
+    monkeypatch.setitem(pl._SEG_AUTO, "choice", None)
+    h = pl.decode_streams_device_async([data])
+    assert h.finish() is sentinel
+    assert calls == [1, 1]

@@ -430,3 +430,49 @@ def test_sharded_auto_is_honored():
         assert pl._SEG_AUTO["choice"] in ("host", "device")
     finally:
         pl._SEG_AUTO["choice"] = saved
+
+
+def test_multichannel_stream_falls_back_per_stream():
+    """A > 2-channel stream cannot ride the device demux (2-lane stereo
+    decorrelation), but it must host-walk ALONE -- the stereo streams in
+    the same batch stay on the device path (round-5: previously one such
+    stream rejected the whole batch)."""
+    st = [encode_flac(synth_music(3000, channels=2, bps=16, seed=40 + k),
+                      44100, 16, block_size=1024) for k in range(2)]
+    multi = encode_flac(synth_music(2000, channels=3, bps=16, seed=44),
+                        44100, 16, block_size=1024)
+    datas = [st[0], multi, st[1]]
+    dd = _seg(datas)
+    res = dd.to_host()
+    assert getattr(dd, "segmented", False)
+    assert dd.fallback_streams == [1]
+    from claxon_tpu import native as _n
+    for data, dec in zip(datas, res):
+        _si, pcm = _n.decode_stream_scalar(data)
+        assert np.array_equal(dec.pcm, pcm)
+
+
+def test_group_merge_mixed_shapes_single_upload():
+    """Streams with different block-size buckets (within the 4x merge
+    ratio) and equal channel count must share ONE fused-demux group --
+    one upload, one summary round trip -- and still decode bit-exactly
+    with per-frame decode buckets."""
+    import claxon_tpu.pipeline_seg as ps
+
+    datas = [encode_flac(synth_music(2500, channels=2, bps=16, seed=50),
+                         44100, 16, block_size=576),
+             encode_flac(synth_music(2500, channels=2, bps=16, seed=51),
+                         44100, 16, block_size=1024),
+             encode_flac(synth_music(2500, channels=2, bps=16, seed=52),
+                         44100, 16, block_size=2048)]
+    pending = ps.begin_segmented(datas)
+    assert pending is not None
+    assert len(pending.groups) == 1, \
+        [g[:2] for g in pending.groups]
+    dd = ps.finish_segmented(pending)
+    assert getattr(dd, "segmented", False)
+    assert not dd.fallback_streams
+    from claxon_tpu import native as _n
+    for data, dec in zip(datas, dd.to_host()):
+        _si, pcm = _n.decode_stream_scalar(data)
+        assert np.array_equal(dec.pcm, pcm)

@@ -58,3 +58,30 @@ def test_sweep_all_paths_md5(case):
         assert np.array_equal(dec.pcm, scalar), "native pipeline"
         _si, pcm = native.decode_stream_scalar(data)
         assert np.array_equal(pcm, scalar), "native scalar"
+
+
+@pytest.mark.slow
+def test_sweep_segmented_path():
+    """Randomized configs through decode_streams_segmented (VERDICT r4
+    item 6: the newest path gets the same breadth treatment). Odd
+    streams -- > 2 channels, > 64 partitions, variable blocking quirks
+    -- must take the per-stream fallback and every stream must stay
+    bit-exact vs the scalar oracle. tools/verify_samples.py --segmented
+    runs the same check at corpus scale."""
+    if not native.available():
+        pytest.skip("native core unavailable")
+    from claxon_tpu.pipeline_seg import decode_streams_segmented
+
+    rng = np.random.default_rng(SEED_BASE + 777)
+    datas, wants = [], []
+    for _ in range(max(N // 2, 6)):
+        data, _bps = random_case(rng)
+        datas.append(data)
+        _si, pcm = native.decode_stream_scalar(data)
+        wants.append(pcm)
+    dd = decode_streams_segmented(datas)
+    res = dd.to_host()
+    assert getattr(dd, "segmented", False), \
+        "device demux engaged for no stream"
+    for dec, want in zip(res, wants):
+        assert np.array_equal(dec.pcm, want)

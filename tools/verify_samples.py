@@ -26,7 +26,10 @@ Per file, three checks (mirroring the reference's three comparisons):
   3. metadata: streaminfo fields parse and tags round-trip.
 
 Exit code 0 iff every file passes. Use --cpu to force the CPU backend
-(no TPU traffic; the kernels are identical).
+(no TPU traffic; the kernels are identical). --segmented routes check 2
+through ``decode_streams_segmented`` (on-device frame segmentation +
+subframe demux + single-pass delta decode) and reports how many streams
+rode the device demux vs took the per-stream host fallback.
 """
 
 import argparse
@@ -63,7 +66,10 @@ def random_stream(rng, max_samples=44100):
         block_size=int(rng.choice([192, 576, 1024, 1152, 2048, 4096,
                                    4608])),
         max_lpc_order=int(rng.choice([0, 2, 4, 8, 12, 16])),
-        partition_order=int(rng.integers(0, 5)),
+        # Up to order 7 = 128 partitions: the encoder clamps per
+        # subframe (divisibility + warm-up fit), and > 64 partitions
+        # exercises the segmented path's per-stream fallback (P_CAP).
+        partition_order=int(rng.integers(0, 8)),
         rice2=bool(rng.random() < 0.25),
         lpc_precision=int(rng.choice([12, 14, 15])),
     )
@@ -81,7 +87,13 @@ def random_stream(rng, max_samples=44100):
     return data, pcm.astype(np.int32)
 
 
-def verify_batch(datas, origs, use_device=True):
+#: --segmented engagement accounting: streams decoded via the device
+#: demux vs per-stream host fallbacks (both must be bit-exact; the split
+#: shows how much of the sweep really exercised the newest path).
+SEG_STATS = {"device": 0, "fallback": 0}
+
+
+def verify_batch(datas, origs, use_device=True, segmented=False):
     """Run the three checks over one batch; returns a list of failures."""
     from claxon_tpu import FlacReader, FlacReaderOptions, native
     from claxon_tpu.pipeline import decode_streams_device
@@ -102,7 +114,20 @@ def verify_batch(datas, origs, use_device=True):
         if r.streaminfo().channels != si.channels:
             fails.append((i, "metadata-only streaminfo mismatch"))
     if use_device:
-        res = decode_streams_device(datas).to_host()
+        if segmented:
+            from claxon_tpu.pipeline_seg import decode_streams_segmented
+            dd = decode_streams_segmented(datas)
+            fb = set(getattr(dd, "fallback_streams", []))
+            if not getattr(dd, "segmented", False):
+                fb = set(range(len(datas)))
+            SEG_STATS["fallback"] += len(fb)
+            SEG_STATS["device"] += len(datas) - len(fb)
+        else:
+            # Pinned to the host walk: path coverage must be
+            # deterministic here (the library default "auto" would
+            # calibrate on the first batch and ride one winner).
+            dd = decode_streams_device(datas, segmentation="host")
+        res = dd.to_host()
         for i, (dec, pcm) in enumerate(zip(res, scalar)):
             if not np.array_equal(dec.pcm, pcm):
                 fails.append((i, "device pipeline is not bit-identical to "
@@ -121,6 +146,9 @@ def main():
                     help="force the CPU backend (identical kernels)")
     ap.add_argument("--no-device", action="store_true",
                     help="scalar + metadata checks only")
+    ap.add_argument("--segmented", action="store_true",
+                    help="route the device check through the segmented "
+                         "(on-device demux) path, decode_streams_segmented")
     ap.add_argument("--shards", type=int, default=0,
                     help="split --generate across this many child "
                          "processes (XLA:CPU accumulates JIT state; very "
@@ -143,6 +171,8 @@ def main():
                 cmd.append("--cpu")
             if args.no_device:
                 cmd.append("--no-device")
+            if args.segmented:
+                cmd.append("--segmented")
             failed |= subprocess.call(cmd)
         print("all shards done;", "FAILURES above" if failed else "all ok")
         return failed
@@ -176,7 +206,8 @@ def main():
         nonlocal n_failed
         try:
             fails = verify_batch(datas, origs,
-                                 use_device=not args.no_device)
+                                 use_device=not args.no_device,
+                                 segmented=args.segmented)
         except Error as e:
             print(f"FAIL batch {names[0]}..: decode error {e}")
             n_failed += len(datas)
@@ -219,8 +250,13 @@ def main():
         ap.error("give a directory or --generate N")
 
     dt = time.perf_counter() - t0
+    seg_note = ""
+    if args.segmented and not args.no_device:
+        seg_note = (f" (segmented: {SEG_STATS['device']} via device "
+                    f"demux, {SEG_STATS['fallback']} per-stream "
+                    f"fallbacks)")
     print(f"verified {n_files} files in {dt:.1f} s: "
-          f"{n_files - n_failed} ok, {n_failed} failed")
+          f"{n_files - n_failed} ok, {n_failed} failed{seg_note}")
     return 1 if n_failed else 0
 
 
