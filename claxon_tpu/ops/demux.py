@@ -342,18 +342,27 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
 
     pos = (hbase << 5) + rel
 
-    # --- verbatim: uniform layout, no walk needed.
+    # --- verbatim: uniform sf_bps-bit fields; the chunk scan below
+    # walks them like fixed-advance codes (value = sign-extended field),
+    # so the cursor starts at the data, exactly like residual lanes.
     verb_base0 = pos
-    pos = pos + jnp.where(is_verb, bs * sf_r, 0)
 
     # --- the residual walk: scan over chunks; each step fetches one
-    # per-lane slab and advances 32 codes in-register. The walk only
-    # tracks POSITIONS (quotient length + parameter width), never values,
-    # so each code is one 64-bit window read + clz.
+    # per-lane slab and advances 32 codes in-register. The walk tracks
+    # positions AND decodes each code's VALUE (round 5): the window,
+    # quotient length, and Rice parameter are already in registers, so
+    # the remainder extraction + zig-zag costs ~6 extra vector ops OFF
+    # the critical cursor-dependency chain -- and the decode stage then
+    # needs no entropy pass at all (one row-gather of the emitted values
+    # feeds synthesis directly; `_seg_decode_program` values mode).
+    # Verbatim lanes walk through the same scan (each field is a fixed
+    # sf_bps-bit "code", sign-extended instead of zig-zagged).
     ps_s = jnp.maximum(ps, 1)
     resd_l = resd & ok
-    order_l = order
+    verb_l = is_verb & ok
+    order_l = jnp.where(is_verb, 0, order)
     bs_l = bs
+    sf_l = sf_r
 
     def chunk_step(carry, c):
         cur, k, nb, bad = carry
@@ -372,10 +381,13 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
         w1 = _sel_row(slab, wi + 1, 1, _SLACK + 2)
         ks8 = []
         ds8 = []
+        vals = []
         for j in range(32):
             t = c * 32 + j
-            active = resd_l & (t >= order_l) & (t < bs_l)
-            first = active & (t == nb)
+            act_r = resd_l & (t >= order_l) & (t < bs_l)
+            act_v = verb_l & (t < bs_l)
+            active = act_r | act_v
+            first = act_r & (t == nb)
             hi = _combine(w0, w1, off)
             kr = _bits(hi, jnp.where(first, pbits, 1))
             escape = first & (kr == (_i(_u(jnp.int32(1)) << _u(pbits)) - 1))
@@ -387,8 +399,22 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
             hi2 = _i(_u(hi) << _u(sh))
             z = _clz32(hi2)
             adv = sh + z + 1 + k_new
-            bad = bad | (active & (escape | (adv > 32)))
-            na = jnp.where(active, jnp.minimum(adv, 32), 0)
+            bad = bad | (act_r & (escape | (adv > 32)))
+            na_r = jnp.minimum(adv, 32)
+            na = jnp.where(act_r, na_r, jnp.where(act_v, sf_l, 0))
+            # ---- decoded value (off the cursor chain). Rice: the k
+            # remainder bits end exactly at bit z + 1 + k of hi2
+            # (adv <= 32 guarantees they fit), so one right shift + mask
+            # reads them; q is the unary count z; u32-wrapping zig-zag
+            # like the reference (`src/subframe.rs:156-170`).
+            rsh = jnp.clip(32 - z - 1 - k_new, 0, 31)
+            rmask = _i((_u(jnp.int32(1)) << _u(jnp.minimum(k_new, 31))) - 1)
+            r = _i(_u(hi2) >> _u(rsh)) & jnp.where(k_new == 0, 0, rmask)
+            v = _i((_u(z) << _u(jnp.minimum(k_new, 31))) | _u(r))
+            rice = jnp.where(v & 1, _i(~(_u(v) >> 1)), _i(_u(v) >> 1))
+            # Verbatim: sign-extend the sf_bps-bit field at the cursor.
+            vv = _sext(_bits(hi, sf_l), jnp.maximum(sf_l, 1))
+            val = jnp.where(active, jnp.where(act_v, vv, rice), 0)
             off2 = off + na          # <= 63
             d = off2 >> 5            # in {0, 1}
             off = off2 & 31
@@ -403,34 +429,34 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
             nb = jnp.where(first,
                            jnp.where(t == order_l, ps_s, t + ps_s), nb)
             ks8.append(k_new.astype(jnp.int8))
-            # Per-code bit advance (the DELTA the single-pass decode
-            # kernel consumes, ops/entropy.py::decode_residual_bits_
-            # stream_delta): na already includes the Rice parameter
-            # width at a partition's first code and is 0 at inactive
-            # positions -- exactly the host-walk delta semantics. The
-            # emission stays HBM-resident; it never crosses the link.
+            # Per-code bit advance (the DELTA the delta decode kernel
+            # consumes, ops/entropy.py::decode_residual_bits_stream_
+            # delta): includes the Rice parameter width at a partition's
+            # first code, 0 at inactive positions -- exactly the
+            # host-walk delta semantics. HBM-resident; never uploaded.
             ds8.append(na.astype(jnp.int8))
+            vals.append(val)
         return (cur, k, nb, bad), (emit_base, jnp.stack(ks8, axis=0),
-                                   jnp.stack(ds8, axis=0))
+                                   jnp.stack(ds8, axis=0),
+                                   jnp.stack(vals, axis=0))
 
-    nb0 = jnp.where(order > 0, order, 0)
-    (end_res, _, _, bad), (base_c, k_c, d_c) = jax.lax.scan(
+    nb0 = jnp.where(order_l > 0, order_l, 0)
+    (end_res, _, _, bad), (base_c, k_c, d_c, v_c) = jax.lax.scan(
         chunk_step, (pos, zero, nb0, jnp.zeros(F, bool)),
         jnp.arange(NC, dtype=jnp.int32))
     ok &= ~bad
-    # Per-sample deltas, chunk-major like the decode kernels' (L, NC*32)
-    # layout. Verbatim/constant lanes emit zeros (never active in the
-    # walk); the delta decode kernel synthesizes verbatim deltas from the
-    # bit depth closed-form and constants carry no codes at all.
+    # Per-sample deltas and decoded values, chunk-major like the decode
+    # kernels' (L, NC*32) layout. Constant lanes emit zeros (no codes);
+    # warm-up positions are zeros (filled by the decode stage).
     deltas = d_c.transpose(2, 0, 1).reshape(F, NC * 32)
+    values = v_c.transpose(2, 0, 1).reshape(F, NC * 32)
 
     # Chunk bases: the cursor before the first code of each chunk
     # (pre-Rice-parameter, matching the C++ walker's ensure_chunk) --
-    # exactly the scan carry at each chunk step's start.
+    # exactly the scan carry at each chunk step's start. Verbatim lanes
+    # get the same closed-form positions (verb_base0 + 32c * sf_bps)
+    # from the scan itself now that their fields walk in-scan.
     bases = base_c.T  # (F, NC)
-    c32 = jnp.arange(NC, dtype=jnp.int32)[None, :] * 32
-    vb = verb_base0[:, None] + c32 * sf_r[:, None]
-    bases = jnp.where(is_verb[:, None], vb, bases)
 
     # Per-partition Rice parameters: k as read at each partition's first
     # code (position t_p of the per-code k emission). The emission is
@@ -446,7 +472,7 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
     ks = jnp.where(is_verb[:, None] & (p_arr == 0), sf_bps[:, None], ks)
     ks = jnp.where(is_const[:, None], 0, ks)
 
-    end = jnp.where(is_verb | is_const, pos, end_res)
+    end = jnp.where(is_const, pos, end_res)
 
     # Max chunk bit span -> per-lane gather width for the decode kernel.
     ncl = (bs + 31) >> 5
@@ -476,6 +502,7 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
         "bases": bases,
         "sa_words": sa_words,
         "deltas": deltas,
+        "values": values,
     }
     return out, end, ok
 

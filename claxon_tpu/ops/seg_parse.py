@@ -88,6 +88,24 @@ class DemuxOverflow(Exception):
     """More sync candidates than MAX_CAP: take the host-walk path."""
 
 
+#: HBM budget for one group's walk descriptor arrays. The walk emits
+#: per-sample values (int32) + deltas (int8) per lane since round 5, so
+#: lane capacity must be bounded in BYTES, not lanes: a sync-saturated
+#: payload at a large T bucket would otherwise regrow the walk into
+#: tens of GB. Past the budget the group takes the host walk (which
+#: handles such streams at full speed), exactly like MAX_CAP.
+MAX_WALK_BYTES = 2 << 30
+
+
+def max_walk_lanes(T, nch):
+    """Largest power-of-2 walk-lane capacity within MAX_WALK_BYTES."""
+    per_cand = nch * (6 * ((T + 31) // 32) * 32 + 1024)
+    cap = 256
+    while cap * 2 * per_cand <= MAX_WALK_BYTES and cap < MAX_CAP:
+        cap *= 2
+    return cap
+
+
 def pick_cap(n_bytes, frames_est=None):
     """Sync-candidate capacity class for a group payload.
 
@@ -267,7 +285,8 @@ class PendingDemux:
     def __init__(self, words_le, n_bytes, T, nch, ends_d, bps_d, cap,
                  wcap, S):
         self._key = (words_le, n_bytes, T, nch, ends_d, bps_d, S)
-        self._dispatch(cap, wcap)
+        self._wcap_max = max_walk_lanes(T, nch)
+        self._dispatch(cap, min(wcap, self._wcap_max))
 
     def _dispatch(self, cap, wcap):
         words_le, n_bytes, T, nch, ends_d, bps_d, S = self._key
@@ -296,10 +315,10 @@ class PendingDemux:
                 cap *= 2
             while wcap < walk_count:
                 wcap *= 2
-            if cap > MAX_CAP or wcap > MAX_CAP:
+            if cap > MAX_CAP or wcap > min(MAX_CAP, self._wcap_max):
                 raise DemuxOverflow(
                     f"{count} sync candidates / {walk_count} walk lanes "
-                    f"> MAX_CAP {MAX_CAP}")
+                    f"> cap {MAX_CAP} / {min(MAX_CAP, self._wcap_max)}")
             self._dispatch(cap, wcap)
 
 

@@ -136,32 +136,42 @@ def _sa_class(s):
 
 
 _WALK_KEYS = ("order", "shift", "wasted", "ps", "pbits", "flags", "warm",
-              "coefs", "ks", "bases", "deltas")
+              "coefs", "ks", "bases", "deltas", "values")
 
 
 def _seg_decode_program(P, SA, Tb, out_packed, mesh=None):
     """Entry point: reads the kernel knob so tests can A/B without
-    poisoning the compile cache (the knob is part of the cache key)."""
+    poisoning the compile cache (the knob is part of the cache key).
+    CLAXON_TPU_SEG_ENTROPY: "values" (default) consumes the walk's
+    decoded-value emissions -- no entropy pass at decode time at all;
+    "delta" re-reads remainders with the fully-parallel delta kernel;
+    "scan" re-locates every code with the 32-step in-chunk scan.
+    Measured resident (tools/seg_bench.py, real chip, round 5):
+    values (365.8, demux INCLUDED -- beats the host-walk decode-only
+    217.9) > scan (149.1) > delta (129.7)."""
     import os
 
-    use_delta = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "delta") != "scan"
-    return _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh)
+    mode = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "values")
+    if mode not in ("values", "delta", "scan"):
+        mode = "values"
+    return _seg_decode_program_impl(P, SA, Tb, out_packed, mode, mesh)
 
 
 @lru_cache(maxsize=None)
-def _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh=None):
+def _seg_decode_program_impl(P, SA, Tb, out_packed, mode, mesh=None):
     """The segmented-path decode program: gather the chained lanes from
-    the walk outputs, then the production entropy decode -> synthesis ->
-    epilogue -> transfer packing. All big inputs are already on device
-    (walk outputs + the byte-swapped stream); only the tiny (L, 3) plan
-    array [row, length, mode] crosses the link.
+    the walk outputs, then synthesis -> epilogue -> transfer packing.
+    All big inputs are already on device (walk outputs + the byte-swapped
+    stream); only the tiny (L, 3) plan array [row, length, mode] crosses
+    the link.
 
-    ``use_delta`` (default; CLAXON_TPU_SEG_ENTROPY=scan reverts) feeds
-    the walk's per-code delta emissions to the fully-parallel
-    ``decode_residual_bits_stream_delta`` kernel -- the single-pass
-    design: the walk already located every code, so the decode must not
-    re-scan the chunk (the scan kernel's 32 sequential steps re-pay the
-    boundary discovery the walk just did).
+    In the default "values" mode there is NO entropy stage here at all:
+    the walk already decoded every Rice code's value while locating it
+    (ops/demux.py chunk_step -- the remainder extraction is a handful of
+    vector ops off the walk's critical cursor chain), so this program is
+    one row-gather of the emitted values + warm-up fill + synthesis.
+    The "delta"/"scan" modes re-derive the values from the stream and
+    exist for A/B measurement and differential testing.
 
     Under a ``mesh`` the plan's lane axis shards over LANE_AXIS and the
     stream + walk descriptor arrays replicate (frames are independent,
@@ -186,24 +196,34 @@ def _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh=None):
     NC_b = (Tb + 31) // 32
 
     def prog(stream, order, shift, wasted, ps, pbits, flags, warm, coefs,
-             ks, bases, deltas, plan):
+             ks, bases, deltas, values, plan):
         jnp = _jnp()
         rows = plan[:, 0]
         lengths = plan[:, 1]
         L = rows.shape[0]
         pair_modes = plan[:, 2].reshape(L // 2, 2)[:, 0]
         g = lambda a: jnp.take(a, rows, axis=0)
-        if use_delta:
+        if mode == "values":
+            x = g(values)[:, :NC_b * 32]
+            T = x.shape[1]
+            t = jnp.arange(T, dtype=jnp.int32)[None, :]
+            w = g(warm)
+            warm_t = jnp.pad(w, ((0, 0), (0, T - w.shape[1])))
+            ords = g(order)
+            x = jnp.where(t < ords[:, None], warm_t, x)
+        elif mode == "delta":
+            ords = g(order)
             x = decode_residual_bits_stream_delta(
                 stream, g(bases)[:, :NC_b], g(deltas)[:, :NC_b * 32],
-                g(ks)[:, :P], g(ps), g(order), g(pbits), g(flags),
+                g(ks)[:, :P], g(ps), ords, g(pbits), g(flags),
                 g(warm), lengths, n_parts_max=P, sa=SA)
         else:
+            ords = g(order)
             x = decode_residual_bits_stream(
-                stream, g(bases)[:, :NC_b], g(ks)[:, :P], g(ps), g(order),
+                stream, g(bases)[:, :NC_b], g(ks)[:, :P], g(ps), ords,
                 g(pbits), g(flags), g(warm), lengths, n_parts_max=P,
                 sa=SA)
-        out = synthesize_best(x, g(coefs), g(shift), g(order), lengths)
+        out = synthesize_best(x, g(coefs), g(shift), ords, lengths)
         out = apply_epilogue(out, g(wasted), pair_modes)
         if out_packed:
             packed, flag = pack_int16_pairs(out, per_lane=mesh is not None)
@@ -217,7 +237,7 @@ def _seg_decode_program_impl(P, SA, Tb, out_packed, use_delta, mesh=None):
 
     repl = NamedSharding(mesh, PartitionSpec())
     lanes = NamedSharding(mesh, PartitionSpec(LANE_AXIS, None))
-    return jax.jit(prog, in_shardings=(repl,) * 12 + (lanes,))
+    return jax.jit(prog, in_shardings=(repl,) * 13 + (lanes,))
 
 
 class _SegPending:
@@ -555,10 +575,18 @@ def finish_segmented(pending):
         # chunk axis down to the dispatch bucket.
         g_idx = np.flatnonzero(chained_mask)
         if g_idx.size:
-            pcls = _P_CLASSES_V[np.minimum(
-                np.searchsorted(_P_CLASSES_V,
-                                np.maximum(cols["n_parts"][g_idx], 1)),
-                len(_P_CLASSES_V) - 1)]
+            import os
+            seg_mode = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "values")
+            if seg_mode == "values":
+                # The values-mode decode never touches ks/partitions or
+                # the stream: one P class, one (placeholder) SA class --
+                # fewer dispatches per batch and fewer compile classes.
+                pcls = np.ones(g_idx.size, np.int64)
+            else:
+                pcls = _P_CLASSES_V[np.minimum(
+                    np.searchsorted(_P_CLASSES_V,
+                                    np.maximum(cols["n_parts"][g_idx], 1)),
+                    len(_P_CLASSES_V) - 1)]
             tcls = _T_BUCKETS_V[np.searchsorted(
                 _T_BUCKETS_V, np.maximum(bs_c[g_idx], 1))]
             # Merge sparse classes upward: every class is one more
@@ -584,7 +612,8 @@ def finish_segmented(pending):
                 n_frames = sub.size
                 n_lanes = n_frames * nch
                 L, Tb = bucket_shape(n_lanes, Tb, lane_quantum)
-                SA = _sa_class(int(cols["sa"][sub].max()))
+                SA = (0 if seg_mode == "values"
+                      else _sa_class(int(cols["sa"][sub].max())))
                 plan_arr = np.zeros((L, 3), np.int32)
                 rows = (walk_rank[sub][:, None] * nch
                         + np.arange(nch)[None, :]).reshape(-1)

@@ -77,6 +77,21 @@ def test_segmented_mixed_batch():
     assert dd.dispatches
 
 
+@pytest.mark.parametrize("mode", ["values", "delta", "scan"])
+def test_seg_entropy_modes_match(mode, monkeypatch):
+    # The three decode sources (walk-decoded values / delta re-read /
+    # in-chunk re-scan) must be bit-identical; the non-default kernels
+    # only stay honest if they keep differential coverage.
+    monkeypatch.setenv("CLAXON_TPU_SEG_ENTROPY", mode)
+    datas = []
+    for seed, (bs, ch) in enumerate([(4096, 2), (576, 1)]):
+        pcm = synth_music(4000 + 619 * seed, channels=ch, bps=16,
+                          seed=seed)
+        datas.append(encode_flac(pcm, 44100, 16, block_size=bs,
+                                 partition_order=3))
+    _assert_equal(datas)
+
+
 def test_segmented_constant_frames():
     pcm = np.full((5000, 2), 1234, np.int32)
     _assert_equal([encode_flac(pcm, 44100, 16, block_size=1024,
