@@ -285,6 +285,30 @@ def _host_fallback(datas, lane_quantum, mesh=None, per_stream=False):
                                  segmentation="host")
 
 
+#: STREAMINFO identities (PCM MD5) of streams that left the device-demux
+#: path for a per-stream reason (walk-rejected frame -- e.g. a > 32-bit
+#: code or > 64 partitions -- or a chain break) once in this process.
+#: ``begin_segmented`` pre-routes them to the per-stream host fallback,
+#: so a REPEATED decode stops paying their group-upload bytes + wasted
+#: walk lanes twice (measured on the bench mixed corpus: its one
+#: walk-rejected 24-bit stream alone pushed upload overhead to 1.88
+#: B/sample vs the 1.45 floor). Purely a routing memo: both routes are
+#: bit-exact, and a stream without a stored MD5 is never cached.
+#: Group-level DemuxOverflow is NOT cached (it is a property of the
+#: grouped payload, not of any one stream).
+_REJECT_CACHE = set()
+_REJECT_CACHE_CAP = 1 << 16
+
+
+def _si_key(si):
+    md5 = si.md5sum
+    if not md5 or md5 == b"\x00" * 16:
+        return None
+    # Block sizes distinguish different ENCODES of the same PCM (the
+    # rejection is a property of the encode, not the audio).
+    return (md5, si.min_block_size, si.max_block_size)
+
+
 def begin_segmented(datas, lane_quantum=None, mesh=None):
     """Stage 1 of the segmented decode: metadata parse, stream grouping,
     and -- per group -- ONE upload, ONE fused demux dispatch, and an
@@ -342,7 +366,8 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
     # STREAMINFO block size) take the per-stream host fallback -- one
     # such stream must not reject the whole batch from the device path.
     pre_fb = [i for i, si in enumerate(sis)
-              if si.channels > 2 or si.max_block_size > int(tbv[-1])]
+              if si.channels > 2 or si.max_block_size > int(tbv[-1])
+              or _si_key(si) in _REJECT_CACHE]
     if len(pre_fb) == len(datas):
         return None
     pending.pre_fallback = pre_fb
@@ -457,6 +482,10 @@ def finish_segmented(pending):
     #: the end and merged back, so ONE odd stream no longer re-uploads
     #: the batch.
     fb_streams = list(pending.pre_fallback)
+    #: per-stream fallbacks observed THIS batch (chain break or
+    #: walk-rejected frame): learned into _REJECT_CACHE below so
+    #: repeated decodes pre-route them (begin_segmented).
+    fb_learn = []
     upload_bytes = pending.upload_bytes
     _P_CLASSES_V = np.asarray(_P_CLASSES, np.int64)
     _T_BUCKETS_V = np.asarray(_T_BUCKETS, np.int64)
@@ -504,6 +533,7 @@ def finish_segmented(pending):
         def _fb_stream(k):
             fb_local.add(k)
             fb_streams.append(g_streams[k])
+            fb_learn.append(g_streams[k])
             chains.append(empty)
 
         for k, size in enumerate(sizes):
@@ -672,6 +702,12 @@ def finish_segmented(pending):
     # build the same _raw_plans form, so the merge is a stream-index
     # remap. (VERDICT r3 item 3: one odd stream in a 16-stream batch
     # must not re-upload the other 15.)
+    if len(_REJECT_CACHE) < _REJECT_CACHE_CAP:
+        for i in fb_learn:
+            k = _si_key(sis[i])
+            if k is not None:
+                _REJECT_CACHE.add(k)
+
     if fb_streams:
         fb_streams = sorted(set(fb_streams))
         fb_dd = _host_fallback([datas[i] for i in fb_streams], lane_quantum,

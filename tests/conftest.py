@@ -75,6 +75,18 @@ os.environ.setdefault("CLAXON_TPU_SEGMENTATION", "host")
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _clear_seg_reject_cache():
+    """Keep tests order-independent: the segmented path learns rejecting
+    streams per process (pipeline_seg._REJECT_CACHE) and would otherwise
+    pre-route a stream another test decoded first."""
+    import sys
+    ps = sys.modules.get("claxon_tpu.pipeline_seg")
+    if ps is not None:
+        ps._REJECT_CACHE.clear()
+    yield
+
+
 @pytest.fixture(scope="session")
 def testsamples():
     """Path to the committed reference test corpus (data files only)."""

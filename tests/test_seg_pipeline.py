@@ -117,6 +117,30 @@ def test_segmented_falls_back_on_many_partitions(monkeypatch):
     _assert_equal([flac])
 
 
+def test_reject_cache_preroutes_repeat_decodes():
+    """A stream that walk-rejects (128 partitions) is learned per
+    process: a repeated decode pre-routes it to the per-stream host
+    fallback, skipping its group-upload bytes and wasted walk lanes,
+    with identical results."""
+    import claxon_tpu.pipeline_seg as ps
+
+    good = encode_flac(synth_music(6000, channels=2, bps=16, seed=315),
+                       44100, 16, block_size=4096)
+    odd = encode_flac(synth_music(6000, channels=2, bps=16, seed=314),
+                      44100, 16, block_size=4096, partition_order=7)
+    dd1 = ps.decode_streams_segmented([good, odd])
+    r1 = dd1.to_host()
+    assert dd1.fallback_streams == [1]
+    pend = ps.begin_segmented([good, odd])
+    assert pend.pre_fallback == [1]
+    dd2 = ps.finish_segmented(pend)
+    r2 = dd2.to_host()
+    for a, b in zip(r1, r2):
+        assert np.array_equal(a.pcm, b.pcm)
+    # The rejecting stream's bytes ride the link once now, not twice.
+    assert dd2.upload_bytes < dd1.upload_bytes
+
+
 def test_segmented_header_mimic_in_verbatim_payload():
     """A verbatim subframe whose SAMPLES spell a fully valid-looking
     frame header (sync + plausible fields + correct CRC-8) must not
