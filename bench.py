@@ -493,8 +493,36 @@ def main():
             best = min(best, dt)
         return best * 1e9 / samples_1c
 
-    hostwalk_ns = host_cpu_ns(decode_streams_device)
-    seg_ns = host_cpu_ns(decode_streams_segmented)
+    def host_cpu_ns_seg(n=3):
+        # process_time() is NOT stall-proof on this runtime: the demux
+        # summary wait inside finish_segmented spins in the PJRT client,
+        # so a degraded-link phase bills wall stalls as host CPU (r05: a
+        # naive measurement read 4.48 ns/sample in a stall phase vs 2.31
+        # in r04). Splitting begin/finish with an untimed wall settle
+        # between them leaves only real host compute in the window.
+        from claxon_tpu.pipeline_seg import begin_segmented, \
+            finish_segmented
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.process_time()
+            pend = begin_segmented(datas_1c)
+            dt = time.process_time() - t0
+            if pend is None:
+                return host_cpu_ns(decode_streams_segmented)
+            time.sleep(1.0)  # let the summary d2h land (wall, untimed)
+            t0 = time.process_time()
+            dd = finish_segmented(pend)
+            dt += time.process_time() - t0
+            dd.sync()
+            best = min(best, dt)
+        return best * 1e9 / samples_1c
+
+    # Pin the path explicitly: with segmentation="auto" the library
+    # default, a cached "device" choice would silently turn this into a
+    # second segmented measurement.
+    hostwalk_ns = host_cpu_ns(
+        lambda b: decode_streams_device(b, segmentation="host"))
+    seg_ns = host_cpu_ns_seg()
     datas_1c = None
 
     # Link budget: sustained h2d rate (dependent-fetch barrier -- the only
