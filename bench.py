@@ -555,7 +555,11 @@ def main():
             dev = p.finish()
             dev.start_fetch()
             in_flight.append(dev)
-            if len(in_flight) > 3:  # depth-3 pipeline: ~8% over depth 1
+            # Depth-6 fetch pipeline: the d2h responses queue behind
+            # in-flight h2d uploads on this tunnel (same latency story
+            # as time_to_device); measured interleaved depth-3/6 A/B:
+            # 5.70/7.60 then 9.13/9.52 Ms/s across an improving phase.
+            if len(in_flight) > 6:
                 in_flight.pop(0).to_host()
 
         while True:
