@@ -122,14 +122,19 @@ def _calibrate_segmentation_sharded(datas, mesh):
 
     d_seg.sync()
     host_run().sync()
-    t0 = _time.perf_counter()
-    d_seg = decode_streams_segmented(datas, mesh=mesh)
-    d_seg.sync()
-    t_dev = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    d_host = host_run()
-    d_host.sync()
-    t_host = _time.perf_counter() - t0
+    # Min-of-2 interleaved timings per path (phase-dip robustness;
+    # mirrors pipeline._calibrate_segmentation).
+    t_dev = t_host = float("inf")
+    d_host = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        d_seg = decode_streams_segmented(datas, mesh=mesh)
+        d_seg.sync()
+        t_dev = min(t_dev, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        d_host = host_run()
+        d_host.sync()
+        t_host = min(t_host, _time.perf_counter() - t0)
     choice = "device" if t_dev < t_host else "host"
     _SEG_AUTO["choice"] = choice
     return choice, (d_seg if choice == "device" else d_host)

@@ -732,13 +732,18 @@ _SEG_AUTO = {"choice": None}
 
 
 def _calibrate_segmentation(datas, use_native, lane_quantum):
-    """Time one sync'd decode of ``datas`` through each segmentation and
+    """Time sync'd decodes of ``datas`` through each segmentation and
     cache the faster path for the process (VERDICT r3 item 2). Both
     paths are warmed first so compiles don't bias the measurement; the
     winner's (already computed) result is returned so the calibration
-    batch is not decoded a fifth time. Either path surfaces the same
-    errors (bit-exact contract), so a failing batch raises here exactly
-    as it would at the first sync."""
+    batch is not decoded again. Timing is min-of-2 per path, interleaved
+    device/host/device/host: the tunnel's rate swings between
+    minutes-long phases, and a single-shot comparison was observed
+    picking the loser when a phase dip landed on one run (r05: mixed
+    segmented 9.3 vs host-walk 8.1 Ms/s in the same bench, auto cached
+    "host"). Either path surfaces the same errors (bit-exact contract),
+    so a failing batch raises here exactly as it would at the first
+    sync."""
     import time as _time
 
     d_seg = decode_streams_device(datas, use_native, lane_quantum,
@@ -755,16 +760,19 @@ def _calibrate_segmentation(datas, use_native, lane_quantum):
         return "host", d_seg
     d_seg.sync()
     decode_streams_device(datas, use_native, lane_quantum, "host").sync()
-    t0 = _time.perf_counter()
-    d_seg = decode_streams_device(datas, use_native, lane_quantum,
-                                  "device")
-    d_seg.sync()
-    t_dev = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    d_host = decode_streams_device(datas, use_native, lane_quantum,
-                                   "host")
-    d_host.sync()
-    t_host = _time.perf_counter() - t0
+    t_dev = t_host = float("inf")
+    d_host = None
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        d_seg = decode_streams_device(datas, use_native, lane_quantum,
+                                      "device")
+        d_seg.sync()
+        t_dev = min(t_dev, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        d_host = decode_streams_device(datas, use_native, lane_quantum,
+                                       "host")
+        d_host.sync()
+        t_host = min(t_host, _time.perf_counter() - t0)
     choice = "device" if t_dev < t_host else "host"
     _SEG_AUTO["choice"] = choice
     return choice, (d_seg if choice == "device" else d_host)
