@@ -396,6 +396,7 @@ def main():
     dev_msamples_s, dev_reps = time_to_device(
         dev_async, datas, total_samples, TO_DEVICE_SECONDS)
     h2d_probes.append(probe_h2d())
+    sustained_mixed_mbps, _ = time_pure_upload(mixed, TO_DEVICE_SECONDS / 4)
     mixed_dev_msamples_s, _ = time_to_device(
         mixed_async, mixed, mixed_samples, TO_DEVICE_SECONDS / 2)
     h2d_probes.append(probe_h2d())
@@ -626,6 +627,9 @@ def main():
     # rate over the adjacent pure-upload rate. >= 1.0 = link-saturated.
     eff_sustained = (dev_msamples_s * bytes_per_sample / sustained_mbps
                      if sustained_mbps else 0.0)
+    eff_sustained_mixed = (mixed_dev_msamples_s * mixed_bps
+                           / sustained_mixed_mbps
+                           if sustained_mixed_mbps else 0.0)
 
     backend = "pallas" if (jax.devices()[0].platform == "tpu"
                            and not os.environ.get("CLAXON_TPU_NO_PALLAS")) \
@@ -652,7 +656,9 @@ def main():
         "link_efficiency": round(eff, 3),
         "link_efficiency_mixed": round(eff_mixed, 3),
         "link_efficiency_sustained": round(eff_sustained, 3),
+        "link_efficiency_sustained_mixed": round(eff_sustained_mixed, 3),
         "sustained_upload_mbps": round(sustained_mbps, 1),
+        "sustained_upload_mixed_mbps": round(sustained_mixed_mbps, 1),
         "device_resident_msamples_s": round(resident_msamples_s, 3),
         "device_resident_hostwalk_msamples_s":
             round(hostwalk_resident_msamples_s, 3),
