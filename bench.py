@@ -151,19 +151,21 @@ def time_to_device(decode_async, datas, total_samples,
     return total_samples * reps / elapsed / 1e6, reps
 
 
-def time_pure_upload(datas, seconds, max_reps=200, depth=3):
+def time_pure_upload(datas, seconds, max_reps=200, depth=6):
     """Sustained pure-upload rate on the decode corpus's own bytes: the
-    same depth-3 loop shape as ``time_to_device`` with ALL decode work
+    same loop shape and depth as ``time_to_device`` with ALL decode work
     removed (device_put of each stream + one tiny dependent reduction
-    per batch, closed by its fetch). Measured adjacent to the decode
-    loop, this is the honest in-phase ceiling: the clean-phase 16 MiB
-    probe (phase1) is a burst rate the tunnel does not sustain (probe
-    ~75 MB/s vs ~30 MB/s sustained, tools/link_probe.py), so an
-    efficiency quotient against it conflates engineering loss with link
-    weather. decode-rate / pure-upload-rate on adjacent windows is the
-    phase-robust figure -- >= 1.0 means the decode loop saturates
-    everything the link actually gives (measured round 5: 1.14-1.58,
-    decode's coalesced group buffers beat per-stream puts)."""
+    per batch, closed by its fetch). The depths MUST match or the
+    efficiency quotient measures pipeline-depth mismatch, not
+    engineering loss. Measured adjacent to the decode loop, this is the
+    honest in-phase ceiling: the clean-phase 16 MiB probe (phase1) is a
+    burst rate the tunnel does not sustain (probe ~75 MB/s vs ~30 MB/s
+    sustained, tools/link_probe.py), so an efficiency quotient against
+    it conflates engineering loss with link weather. decode-rate /
+    pure-upload-rate on adjacent windows is the phase-robust figure --
+    >= 1.0 means the decode loop saturates everything the link actually
+    gives (measured round 5, both at depth 3: 1.14-1.58, decode's
+    coalesced group buffers beat per-stream puts)."""
     import jax
     import jax.numpy as jnp
 
@@ -539,6 +541,12 @@ def main():
     # Software-pipelined: batch n+1 extracts/dispatches while batch n's
     # PCM streams back. Median over windows (the reference also averages
     # many runs; this link has order-of-magnitude slow phases).
+    # Pin the already-calibrated path for the MD5 gate: with the library
+    # default ("auto") and _SEG_AUTO reset by calibrated(), a bare
+    # decode_streams would re-calibrate on this 1-stream batch -- ~6
+    # decodes plus fresh 1-stream compile classes mid-bench, and a
+    # cached choice derived from a single stream.
+    pl._SEG_AUTO["choice"] = seg_choice
     d = decode_streams(datas[:1])[0]
     assert pcm_md5(d.pcm, d.streaminfo.bits_per_sample) == \
         d.streaminfo.md5sum, "device decode is not bit-exact"

@@ -434,13 +434,18 @@ def _walk_subframe(src, pos, bs, ch_bps, T, NC):
             # delta): includes the Rice parameter width at a partition's
             # first code, 0 at inactive positions -- exactly the
             # host-walk delta semantics. HBM-resident; never uploaded.
+            # Known optimization: the default values-mode decode never
+            # reads these (int8, ~1/5 of the walk descriptor bytes) --
+            # gating the emission on the mode would reclaim that HBM and
+            # walk-lane capacity at the cost of a mode-keyed walk
+            # program; kept unconditional for one compile class.
             ds8.append(na.astype(jnp.int8))
             vals.append(val)
         return (cur, k, nb, bad), (emit_base, jnp.stack(ks8, axis=0),
                                    jnp.stack(ds8, axis=0),
                                    jnp.stack(vals, axis=0))
 
-    nb0 = jnp.where(order_l > 0, order_l, 0)
+    nb0 = order_l
     (end_res, _, _, bad), (base_c, k_c, d_c, v_c) = jax.lax.scan(
         chunk_step, (pos, zero, nb0, jnp.zeros(F, bool)),
         jnp.arange(NC, dtype=jnp.int32))

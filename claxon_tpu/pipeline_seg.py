@@ -139,22 +139,27 @@ _WALK_KEYS = ("order", "shift", "wasted", "ps", "pbits", "flags", "warm",
               "coefs", "ks", "bases", "deltas", "values")
 
 
-def _seg_decode_program(P, SA, Tb, out_packed, mesh=None):
-    """Entry point: reads the kernel knob so tests can A/B without
-    poisoning the compile cache (the knob is part of the cache key).
-    CLAXON_TPU_SEG_ENTROPY: "values" (default) consumes the walk's
-    decoded-value emissions -- no entropy pass at decode time at all;
-    "delta" re-reads remainders with the fully-parallel delta kernel;
-    "scan" re-locates every code with the 32-step in-chunk scan.
+def _seg_mode():
+    """CLAXON_TPU_SEG_ENTROPY, validated: "values" (default) consumes
+    the walk's decoded-value emissions -- no entropy pass at decode time
+    at all; "delta" re-reads remainders with the fully-parallel delta
+    kernel; "scan" re-locates every code with the 32-step in-chunk scan.
     Measured resident (tools/seg_bench.py, real chip, round 5):
     values (365.8, demux INCLUDED -- beats the host-walk decode-only
     217.9) > scan (149.1) > delta (129.7)."""
     import os
 
     mode = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "values")
-    if mode not in ("values", "delta", "scan"):
-        mode = "values"
-    return _seg_decode_program_impl(P, SA, Tb, out_packed, mode, mesh)
+    return mode if mode in ("values", "delta", "scan") else "values"
+
+
+def _seg_decode_program(P, SA, Tb, out_packed, mesh=None, mode=None):
+    """Entry point: resolves the kernel knob so tests can A/B without
+    poisoning the compile cache (the knob is part of the cache key).
+    ``finish_segmented`` passes the ``mode`` it planned pcls/SA with so
+    plan and kernel can never disagree; bare callers resolve the env."""
+    return _seg_decode_program_impl(P, SA, Tb, out_packed,
+                                    mode or _seg_mode(), mesh)
 
 
 @lru_cache(maxsize=None)
@@ -300,13 +305,17 @@ _REJECT_CACHE = set()
 _REJECT_CACHE_CAP = 1 << 16
 
 
-def _si_key(si):
+def _si_key(si, n_bytes):
     md5 = si.md5sum
     if not md5 or md5 == b"\x00" * 16:
         return None
-    # Block sizes distinguish different ENCODES of the same PCM (the
-    # rejection is a property of the encode, not the audio).
-    return (md5, si.min_block_size, si.max_block_size)
+    # The rejection is a property of the ENCODE, not the audio, and the
+    # PCM MD5 alone is shared by every encode of the same PCM. Block
+    # sizes + the exact stream length separate encodes in practice (a
+    # different rice/partition/LPC config virtually never produces the
+    # same byte count); a residual collision only costs routing (the
+    # host fallback is bit-exact), never correctness.
+    return (md5, si.min_block_size, si.max_block_size, n_bytes)
 
 
 def begin_segmented(datas, lane_quantum=None, mesh=None):
@@ -367,7 +376,7 @@ def begin_segmented(datas, lane_quantum=None, mesh=None):
     # such stream must not reject the whole batch from the device path.
     pre_fb = [i for i, si in enumerate(sis)
               if si.channels > 2 or si.max_block_size > int(tbv[-1])
-              or _si_key(si) in _REJECT_CACHE]
+              or _si_key(si, len(datas[i])) in _REJECT_CACHE]
     if len(pre_fb) == len(datas):
         return None
     pending.pre_fallback = pre_fb
@@ -605,8 +614,7 @@ def finish_segmented(pending):
         # chunk axis down to the dispatch bucket.
         g_idx = np.flatnonzero(chained_mask)
         if g_idx.size:
-            import os
-            seg_mode = os.environ.get("CLAXON_TPU_SEG_ENTROPY", "values")
+            seg_mode = _seg_mode()
             if seg_mode == "values":
                 # The values-mode decode never touches ks/partitions or
                 # the stream: one P class, one (placeholder) SA class --
@@ -664,7 +672,7 @@ def finish_segmented(pending):
                 out_packed = (_LITTLE_ENDIAN and Tb % 2 == 0
                               and int(cols["bps"][sub].max()) <= 16)
                 prog = _seg_decode_program(int(P), SA, Tb, out_packed,
-                                           mesh)
+                                           mesh, mode=seg_mode)
                 args = walk + (jnp.asarray(plan_arr),)
                 upload_bytes += plan_arr.nbytes
                 if out_packed:
@@ -702,11 +710,12 @@ def finish_segmented(pending):
     # build the same _raw_plans form, so the merge is a stream-index
     # remap. (VERDICT r3 item 3: one odd stream in a 16-stream batch
     # must not re-upload the other 15.)
-    if len(_REJECT_CACHE) < _REJECT_CACHE_CAP:
-        for i in fb_learn:
-            k = _si_key(sis[i])
-            if k is not None:
-                _REJECT_CACHE.add(k)
+    for i in fb_learn:
+        if len(_REJECT_CACHE) >= _REJECT_CACHE_CAP:
+            break  # memo full: stop learning (bounded; routing only)
+        k = _si_key(sis[i], len(datas[i]))
+        if k is not None:
+            _REJECT_CACHE.add(k)
 
     if fb_streams:
         fb_streams = sorted(set(fb_streams))

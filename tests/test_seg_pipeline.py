@@ -117,6 +117,21 @@ def test_segmented_falls_back_on_many_partitions(monkeypatch):
     _assert_equal([flac])
 
 
+def test_segmented_65535_bucket_numeric():
+    """A stream whose STREAMINFO max_block_size lands in the 65535
+    bucket (the one T that is not a multiple of 32) must decode through
+    the device walk bit-exactly -- numerically, not just trace-clean
+    (the eval_shape regression in test_demux.py caught the round-4
+    reshape TypeError but not the emission slicing). Two frames so the
+    test encoder records the real block size (it writes 16/16 when the
+    only frame is also the last)."""
+    pcm = synth_music(80000, channels=1, bps=16, seed=65)
+    data = encode_flac(pcm, 44100, 16, block_size=40000)
+    dd = _assert_equal([data])
+    assert getattr(dd, "segmented", False), \
+        "65535-bucket stream did not ride the device walk"
+
+
 def test_reject_cache_preroutes_repeat_decodes():
     """A stream that walk-rejects (128 partitions) is learned per
     process: a repeated decode pre-routes it to the per-stream host

@@ -81,6 +81,11 @@ def main():
     # ---- 2. upload + fused demux + summary fetch (no decode).
     def demux_only():
         p = begin_segmented(datas)
+        if p is None or not p.groups:
+            raise SystemExit(
+                "segmented path did not engage on this corpus (shape "
+                "rejection, no native core, or every stream learned "
+                "into the reject cache) -- nothing to profile")
         for g in p.groups:
             g[-1].resolve()
         return p.groups[-1][-1].stream
